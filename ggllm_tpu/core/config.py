@@ -1,0 +1,86 @@
+"""Model hyperparameters and engine configuration."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FalconHParams:
+    """Falcon model hyperparameters (falcon_hparams, libfalcon.cpp:146-160)."""
+
+    n_vocab: int = 65024
+    n_embd: int = 4544
+    n_head: int = 71
+    n_head_kv: int = 1  # 1 = 7B multi-query; 8 = 40B grouped-query
+    n_layer: int = 32
+    n_falcon_type: int = 7  # 7, 40 or 180
+    ftype: int = 1
+    n_bpe_merges: int = 64784
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @property
+    def n_ff(self) -> int:
+        return 4 * self.n_embd
+
+    @classmethod
+    def falcon7b(cls, **kw) -> "FalconHParams":
+        return cls(n_embd=4544, n_head=71, n_head_kv=1, n_layer=32, n_falcon_type=7, **kw)
+
+    @classmethod
+    def falcon40b(cls, **kw) -> "FalconHParams":
+        return cls(n_embd=8192, n_head=128, n_head_kv=8, n_layer=60, n_falcon_type=40, **kw)
+
+    @classmethod
+    def falcon180b(cls, **kw) -> "FalconHParams":
+        return cls(n_embd=14848, n_head=232, n_head_kv=8, n_layer=80, n_falcon_type=180, **kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "FalconHParams":
+        """Small config for tests: same structure, toy sizes."""
+        kw.setdefault("n_vocab", 512)
+        kw.setdefault("n_bpe_merges", 0)
+        return cls(n_embd=128, n_head=4, n_head_kv=1, n_layer=2, n_falcon_type=7, **kw)
+
+    @classmethod
+    def tiny_gqa(cls, **kw) -> "FalconHParams":
+        """Tiny 40B-style config (grouped-query attention, two layernorms)."""
+        kw.setdefault("n_vocab", 512)
+        kw.setdefault("n_bpe_merges", 0)
+        return cls(n_embd=128, n_head=8, n_head_kv=2, n_layer=2, n_falcon_type=40, **kw)
+
+
+@dataclass
+class RopeConfig:
+    """NTK-aware dynamic RoPE scaling knobs (ggml.h:1564-1567, ggml.c:12875-12898)."""
+
+    freq_base: float = 10000.0
+    dynamic_ntk: bool = True  # falcon_eval enables dynamic mode by default
+    # In dynamic mode this is the linear scale inside the alpha formula
+    # (falcon_eval passes 2.0, libfalcon.cpp:2234); in static mode it is the
+    # NTK alpha itself.
+    ntk_alpha: float = 2.0
+    ang_scale: float = 1.0  # linear angle scaling
+    trained_ctx: int = 2048  # context length the base model was trained at
+
+
+@dataclass
+class EngineConfig:
+    """Runtime configuration (the gpt_params subset that shapes compute)."""
+
+    n_ctx: int = 2048
+    n_batch: int = 512  # prefill chunk
+    max_decode_batch: int = 1  # concurrent sequences (continuous batching)
+    kv_dtype: str = "bfloat16"  # -f16_kv equivalent; "float32" for exactness
+    compute_dtype: str = "bfloat16"
+    logits_dtype: str = "float32"
+    rope: RopeConfig = field(default_factory=RopeConfig)
+    # weight handling: "dequant" materializes bf16 weights at load;
+    # "fused" keeps packed quant planes in HBM and uses Pallas kernels
+    weight_mode: str = "fused"
+    # mesh axes: data (replica), model (tensor-parallel)
+    mesh_shape: tuple = (1, 1)
+    mesh_axes: tuple = ("data", "model")

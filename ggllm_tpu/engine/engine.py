@@ -1,0 +1,217 @@
+"""Inference engine: KV cache, jitted prefill/decode, generation loop.
+
+The falcon_context/falcon_eval analogue (libfalcon.cpp:2011-2588, 3755-3833),
+redesigned for XLA's compile-once model instead of ggml's rebuild-per-token
+graphs:
+
+* the KV cache is a pair of preallocated (n_layer, B, n_ctx, n_head_kv,
+  head_dim) arrays, functionally updated with dynamic_update_slice and donated
+  through jit so XLA aliases them in place;
+* prefill lengths are padded to power-of-two buckets; padded query positions
+  write scratch KV slots beyond n_past+len which the next chunk overwrites,
+  so masking stays a simple `key_pos <= query_pos`;
+* decode is a fixed (B, 1) step — one compiled program for the whole
+  generation loop;
+* sampling runs on host (ops/sampling.py) on the final-position logits.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.models.falcon import FalconStatic, falcon_forward
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.ops.rope import rope_angles
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, n_batch: int) -> int:
+    if n == 1:
+        return 1  # decode step: dedicated (B, 1) program
+    for b in PREFILL_BUCKETS:
+        if n <= b and b <= max(n_batch, 8):
+            return b
+    return min(n_batch, PREFILL_BUCKETS[-1])
+
+
+@dataclass
+class Timings:
+    """falcon_print_timings fields (libfalcon.cpp:4700-4715)."""
+
+    t_load_us: float = 0.0
+    t_sample_us: float = 0.0
+    t_prefill_us: float = 0.0
+    t_decode_us: float = 0.0
+    n_sample: int = 0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def report(self) -> str:
+        lines = [f"load time       = {self.t_load_us / 1000:.2f} ms"]
+        if self.n_sample:
+            lines.append(
+                f"sample time     = {self.t_sample_us / 1000:.2f} ms / {self.n_sample} runs"
+                f" ({self.t_sample_us / 1000 / max(1, self.n_sample):.2f} ms per token,"
+                f" {self.n_sample / max(1e-9, self.t_sample_us / 1e6):.2f} tokens per second)"
+            )
+        if self.n_prefill:
+            lines.append(
+                f"batch eval time = {self.t_prefill_us / 1000:.2f} ms / {self.n_prefill} tokens"
+                f" ({self.t_prefill_us / 1000 / max(1, self.n_prefill):.2f} ms per token,"
+                f" {self.n_prefill / max(1e-9, self.t_prefill_us / 1e6):.2f} tokens per second)"
+            )
+        if self.n_decode:
+            lines.append(
+                f"eval time       = {self.t_decode_us / 1000:.2f} ms / {self.n_decode} runs"
+                f" ({self.t_decode_us / 1000 / max(1, self.n_decode):.2f} ms per token,"
+                f" {self.n_decode / max(1e-9, self.t_decode_us / 1e6):.2f} tokens per second)"
+            )
+        return "\n".join(lines)
+
+
+class FalconEngine:
+    """Single-model inference engine."""
+
+    def __init__(
+        self,
+        hparams: FalconHParams,
+        params,
+        cfg: EngineConfig | None = None,
+        batch_size: int = 1,
+    ):
+        self.hp = hparams
+        self.cfg = cfg or EngineConfig()
+        self.params = params
+        self.batch = batch_size
+        self.st = FalconStatic.from_hparams(hparams)
+        self.kv_dtype = jnp.dtype(self.cfg.kv_dtype)
+        self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
+        self.n_past = 0
+        self.kv = self.new_kv()
+        self.timings = Timings()
+        self._fwd = {}  # (seq_len, logits_all) -> jitted fn
+
+    # ---------------------------------------------------------------- kv
+
+    def new_kv(self):
+        hp, cfg = self.hp, self.cfg
+        shape = (hp.n_layer, self.batch, cfg.n_ctx, hp.n_head_kv, hp.head_dim)
+        return (
+            jnp.zeros(shape, dtype=self.kv_dtype),
+            jnp.zeros(shape, dtype=self.kv_dtype),
+        )
+
+    def reset(self):
+        self.n_past = 0
+        self.kv = self.new_kv()
+
+    # ------------------------------------------------------------- compile
+
+    def _forward_fn(self, seq_len: int, logits_all: bool):
+        key = (seq_len, logits_all)
+        if key not in self._fwd:
+            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2, 3))
+            def fwd(params, tokens, kv_k, kv_v, n_past, last_pos):
+                return falcon_forward(
+                    params, tokens, kv_k, kv_v, n_past, inv_freq, st,
+                    logits_all=logits_all, compute_dtype=dtype, last_pos=last_pos,
+                )
+
+            self._fwd[key] = fwd
+        return self._fwd[key]
+
+    # ---------------------------------------------------------------- eval
+
+    def eval_tokens(self, tokens, logits_all: bool = False) -> np.ndarray:
+        """Evaluate tokens (list/array of ids, one sequence) starting at n_past.
+
+        Splits into n_batch chunks like the reference main loop
+        (falcon_main.cpp:820-845). Returns logits: (n, n_vocab) when
+        logits_all else (n_vocab,) for the final position.
+        """
+        tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        out = []
+        i = 0
+        while i < tokens.size:
+            chunk = tokens[i : i + self.cfg.n_batch]
+            out.append(self._eval_chunk(chunk, logits_all))
+            i += chunk.size
+        if logits_all:
+            return np.concatenate(out, axis=0)
+        return out[-1]
+
+    def _eval_chunk(self, chunk: np.ndarray, logits_all: bool) -> np.ndarray:
+        n = chunk.size
+        assert self.n_past + n <= self.cfg.n_ctx, "context overflow"
+        pad = _bucket(n, self.cfg.n_batch)
+        buf = np.zeros((self.batch, pad), dtype=np.int32)
+        buf[0, :n] = chunk
+        t0 = time.perf_counter()
+        fwd = self._forward_fn(pad, logits_all)
+        logits, kv_k, kv_v = fwd(
+            self.params, jnp.asarray(buf), self.kv[0], self.kv[1],
+            jnp.int32(self.n_past), jnp.int32(n - 1),
+        )
+        logits = np.asarray(jax.device_get(logits), dtype=np.float32)
+        dt = (time.perf_counter() - t0) * 1e6
+        if n > 1:
+            self.timings.t_prefill_us += dt
+            self.timings.n_prefill += n
+        else:
+            self.timings.t_decode_us += dt
+            self.timings.n_decode += 1
+        self.kv = (kv_k, kv_v)
+        self.n_past += n
+        if logits_all:
+            return logits[0, :n]
+        return logits[0, 0]  # single dynamic-sliced position
+
+    def eval(self, tokens, logits_all: bool = False) -> np.ndarray:
+        """Reference falcon_eval equivalent."""
+        return self.eval_tokens(tokens, logits_all=logits_all)
+
+    # ------------------------------------------------------------ generate
+
+    def generate(
+        self,
+        prompt_ids,
+        n_predict: int = 128,
+        sampler: sampling.SamplerParams | None = None,
+        stop_ids: set | None = None,
+        stream=None,
+    ) -> list[int]:
+        """Greedy/sampled generation. Returns generated ids (without prompt)."""
+        sampler = sampler or sampling.SamplerParams()
+        state = sampling.SamplerState.init(sampler)
+        stop_ids = stop_ids or set()
+        prompt_ids = list(map(int, np.asarray(prompt_ids).reshape(-1)))
+        last_tokens = list(prompt_ids)
+
+        logits = self.eval(prompt_ids)
+        out = []
+        for _ in range(n_predict):
+            t0 = time.perf_counter()
+            tok = sampling.sample(logits, last_tokens, sampler, state, self.cfg.n_ctx)
+            self.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
+            self.timings.n_sample += 1
+            out.append(tok)
+            last_tokens.append(tok)
+            if stream is not None:
+                stream(tok)
+            if tok in stop_ids:
+                break
+            if self.n_past >= self.cfg.n_ctx:
+                break
+            logits = self._eval_chunk(np.array([tok], dtype=np.int32), logits_all=False)
+        return out

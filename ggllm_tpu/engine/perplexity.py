@@ -1,0 +1,61 @@
+"""Perplexity evaluation, reference protocol.
+
+Replicates falcon_perplexity (examples/falcon_perplexity/falcon_perplexity.cpp:
+28-120): tokenize the whole text (with BOS), split into n_ctx chunks, eval each
+chunk with logits_all (each chunk starts at n_past=0), accumulate NLL over
+window positions j in [min(512, n_ctx/2), n_ctx-1), ppl = exp(nll/count).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class PerplexityResult:
+    ppl: float
+    nll: float
+    count: int
+    n_chunks: int
+    per_chunk: list
+
+
+def _log_softmax_at(logits: np.ndarray, idx: int) -> float:
+    m = float(logits.max())
+    lse = m + math.log(float(np.exp(logits - m).sum()))
+    return float(logits[idx]) - lse
+
+
+def perplexity(engine, tokens, progress=None) -> PerplexityResult:
+    """Compute wikitext-style perplexity. `engine` is a FalconEngine."""
+    tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+    n_ctx = engine.cfg.n_ctx
+    n_chunk = tokens.size // n_ctx
+    if n_chunk == 0:
+        raise ValueError(f"need at least n_ctx={n_ctx} tokens, got {tokens.size}")
+
+    nll = 0.0
+    count = 0
+    per_chunk = []
+    first_j = min(512, n_ctx // 2)
+
+    for i in range(n_chunk):
+        start = i * n_ctx
+        chunk = tokens[start : start + n_ctx]
+        engine.reset()
+        logits = engine.eval(chunk, logits_all=True)  # (n_ctx, V)
+        for j in range(first_j, n_ctx - 1):
+            nll += -_log_softmax_at(logits[j], int(chunk[j + 1]))
+            count += 1
+        ppl_so_far = math.exp(nll / count)
+        per_chunk.append(ppl_so_far)
+        if progress:
+            progress(i + 1, n_chunk, ppl_so_far)
+
+    return PerplexityResult(
+        ppl=math.exp(nll / count), nll=nll, count=count, n_chunks=n_chunk,
+        per_chunk=per_chunk,
+    )

@@ -1,0 +1,103 @@
+"""Model loading: GGCC file -> device parameter pytree.
+
+The analogue of falcon_model_load_internal (libfalcon.cpp:1552-1959), minus
+everything XLA already owns (arena sizing, VRAM simulation, backend
+assignment). Per-layer weights are stacked on a leading layer axis so the
+model's layer loop is a lax.scan; 2-D weights either dequantize to a compute
+dtype at load ("dequant" mode) or stay packed as planar QuantTensors
+("fused" mode) for the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.io.ggcc import ModelFile, read_model
+from ggllm_tpu.ops.linear import QuantTensor
+from ggllm_tpu.quant import planar
+
+
+def _layer_names(hp: FalconHParams, i: int) -> dict[str, str]:
+    """Tensor names per layer (libfalcon.cpp:1845-1861)."""
+    p = f"transformer.h.{i}"
+    names = {
+        "qkv": f"{p}.self_attention.query_key_value.weight",
+        "wo": f"{p}.self_attention.dense.weight",
+        "ffn_up": f"{p}.mlp.dense_h_to_4h.weight",
+        "ffn_down": f"{p}.mlp.dense_4h_to_h.weight",
+    }
+    if hp.n_falcon_type >= 40:
+        names.update(
+            input_ln_w=f"{p}.ln_mlp.weight",
+            input_ln_b=f"{p}.ln_mlp.bias",
+            attn_ln_w=f"{p}.ln_attn.weight",
+            attn_ln_b=f"{p}.ln_attn.bias",
+        )
+    else:
+        names.update(
+            input_ln_w=f"{p}.input_layernorm.weight",
+            input_ln_b=f"{p}.input_layernorm.bias",
+        )
+    return names
+
+
+def _load_matrix(mf: ModelFile, name: str, mode: str, dtype):
+    """2-D weight -> dense jnp array (out, in) or QuantTensor planes (numpy)."""
+    t = mf.tensors[name]
+    if mode == "dequant" or not GGMLType(t.gtype).name.startswith("Q"):
+        return mf.tensor_f32(name).astype(dtype)
+    rows, cols = t.shape  # numpy convention: (out, in)
+    planes = planar.to_planes(t.gtype, mf.tensor_blob(name), rows, cols)
+    return QuantTensor(t.gtype, (rows, cols), planes)
+
+
+def _stack(trees: list):
+    """Stack a list of identical pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+
+
+def load_params(
+    mf: ModelFile,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Build the parameter pytree from a parsed model file."""
+    cfg = cfg or EngineConfig()
+    hp = mf.hparams
+    dtype = jnp.dtype(cfg.compute_dtype)
+    mode = cfg.weight_mode
+
+    params: dict = {
+        # embeddings stay dense: get_rows needs random row access
+        "tok_embeddings": jnp.asarray(
+            mf.tensor_f32("transformer.word_embeddings.weight").astype(dtype)
+        ),
+        "output_norm": jnp.asarray(mf.tensor_f32("transformer.ln_f.weight")),
+        "output_norm_b": jnp.asarray(mf.tensor_f32("transformer.ln_f.bias")),
+        "lm_head": _load_matrix(mf, "lm_head.weight", mode, dtype),
+    }
+
+    layers = []
+    for i in range(hp.n_layer):
+        names = _layer_names(hp, i)
+        lw: dict = {}
+        for key in ("input_ln_w", "input_ln_b"):
+            lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
+        if hp.n_falcon_type >= 40:
+            for key in ("attn_ln_w", "attn_ln_b"):
+                lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
+        for key in ("qkv", "wo", "ffn_up", "ffn_down"):
+            lw[key] = _load_matrix(mf, names[key], mode, dtype)
+        layers.append(lw)
+
+    params["layers"] = _stack(layers)
+    return params
+
+
+def load_model(path: str, cfg: EngineConfig | None = None):
+    """Convenience: parse file + build params. Returns (ModelFile, params)."""
+    mf = read_model(path)
+    return mf, load_params(mf, cfg)

@@ -1,0 +1,199 @@
+"""falcon_main equivalent: generation CLI.
+
+Covers the core falcon_main surface (examples/falcon/falcon_main.cpp): prompt
+generation with the full sampling cascade, antiprompts, stopwords, finetune
+template detection, interactive mode, session (prompt-cache) save/reuse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ggllm_tpu.core.config import EngineConfig
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.engine import session as session_mod
+from ggllm_tpu.io.loader import load_model
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.tokenizer import bpe
+from ggllm_tpu.utils.finetune import detect_finetune, build_prompt, finetune_stopwords
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Falcon generation (TPU)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-f", "--file", help="read prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=128)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-b", "--batch-size", type=int, default=512)
+    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--tfs", type=float, default=1.0)
+    ap.add_argument("--typical", type=float, default=1.0)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--repeat-penalty", type=float, default=1.1)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
+    ap.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
+    ap.add_argument("--mirostat-tau", type=float, default=5.0)
+    ap.add_argument("--mirostat-eta", type=float, default=0.1)
+    ap.add_argument("--no-penalize-nl", action="store_true")
+    ap.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                    help="antiprompt: stop generation when seen")
+    ap.add_argument("-S", "--stopwords", default=None,
+                    help="pipe-separated stopwords ('' disables finetune defaults)")
+    ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("-ins", "--instruct", action="store_true")
+    ap.add_argument("--sys-prompt", default=None, help="system prompt (finetune templated)")
+    ap.add_argument("-enc", "--enclose-prompt", action="store_true",
+                    help="wrap -p in the detected finetune template")
+    ap.add_argument("--finetune", default="auto",
+                    choices=["auto", "none", "alpaca", "openassistant", "wizard", "falcon_ins"],
+                    help="finetune template override")
+    ap.add_argument("--prompt-cache", default=None, help="session file path")
+    ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    ap.add_argument("--verbose-timings", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    cfg = EngineConfig(
+        n_ctx=args.ctx_size,
+        n_batch=args.batch_size,
+        kv_dtype=args.kv_dtype,
+        compute_dtype=args.compute_dtype,
+        weight_mode=args.weight_mode,
+    )
+    t0 = time.time()
+    mf, params = load_model(args.model, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg)
+    engine.timings.t_load_us = (time.time() - t0) * 1e6
+    vocab = mf.vocab
+
+    sampler = sampling.SamplerParams(
+        top_k=args.top_k, top_p=args.top_p, tfs_z=args.tfs, typical_p=args.typical,
+        temp=args.temp, repeat_penalty=args.repeat_penalty,
+        repeat_last_n=args.repeat_last_n,
+        frequency_penalty=args.frequency_penalty, presence_penalty=args.presence_penalty,
+        mirostat=args.mirostat, mirostat_tau=args.mirostat_tau,
+        mirostat_eta=args.mirostat_eta, penalize_nl=not args.no_penalize_nl,
+        seed=args.seed,
+    )
+
+    prompt = args.prompt
+    if args.file:
+        with open(args.file, "rb") as f:
+            prompt = f.read().decode("utf-8", errors="replace")
+
+    finetune = detect_finetune(args.model, vocab) if args.finetune == "auto" else args.finetune
+    if args.enclose_prompt or args.instruct:
+        prompt = build_prompt(finetune, prompt, args.sys_prompt)
+    stopwords = finetune_stopwords(finetune)
+    if args.stopwords is not None:
+        stopwords = [s for s in args.stopwords.split("|") if s]
+    print(f"finetune: {finetune}; stopwords: {stopwords}", file=sys.stderr)
+
+    prompt_ids = bpe.tokenize(vocab, prompt, bos=not prompt.startswith("<|endoftext|>"))
+    if not prompt_ids:
+        prompt_ids = [bpe.BOS_ID]
+
+    # session reuse (--prompt-cache): skip matching prefix
+    eval_ids = list(prompt_ids)
+    if args.prompt_cache:
+        eval_ids = session_mod.try_load(args.prompt_cache, engine, prompt_ids)
+        reused = len(prompt_ids) - len(eval_ids)
+        if reused:
+            print(f"session: reused {reused} prompt tokens", file=sys.stderr)
+
+    generated: list[bytes] = []
+    all_text = b""
+
+    def stream(tok: int):
+        nonlocal all_text
+        piece = vocab.id_to_token[tok]
+        generated.append(piece)
+        all_text += piece
+        sys.stdout.buffer.write(piece)
+        sys.stdout.flush()
+
+    stop_suffixes = [s.encode() for s in stopwords]
+    antiprompts = [a.encode() for a in args.reverse_prompt]
+
+    def should_stop() -> bool:
+        return any(all_text.endswith(s) for s in stop_suffixes) or any(
+            a in all_text[-64:] for a in antiprompts
+        )
+
+    sys.stdout.buffer.write(prompt.encode())
+    sys.stdout.flush()
+
+    state = sampling.SamplerState.init(sampler)
+    if not eval_ids:
+        eval_ids = [prompt_ids[-1]]
+        engine.n_past = max(0, engine.n_past - 1)
+    logits = engine.eval(eval_ids)
+    last_tokens = list(prompt_ids)
+    n_out = 0
+    while n_out < args.n_predict:
+        t_s = time.perf_counter()
+        tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
+        engine.timings.t_sample_us += (time.perf_counter() - t_s) * 1e6
+        engine.timings.n_sample += 1
+        last_tokens.append(tok)
+        n_out += 1
+        if tok == bpe.EOS_ID:
+            break
+        stream(tok)
+        if should_stop():
+            break
+        if engine.n_past >= cfg.n_ctx:
+            # context swap: keep first half, continue (falcon_main.cpp:700-760)
+            keep = last_tokens[-cfg.n_ctx // 2:]
+            engine.reset()
+            logits = engine.eval(keep)
+            continue
+        logits = engine.eval([tok])
+
+    print()
+    if args.prompt_cache:
+        session_mod.save(args.prompt_cache, engine, last_tokens)
+    print(engine.timings.report(), file=sys.stderr)
+
+    if args.interactive:
+        print("== interactive mode: empty line to exit ==", file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line:
+                break
+            text = build_prompt(finetune, line, None) if args.instruct else line
+            ids = bpe.tokenize(vocab, text)
+            all_text = b""
+            logits = engine.eval(ids)
+            last_tokens.extend(ids)
+            for _ in range(args.n_predict):
+                tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
+                last_tokens.append(tok)
+                if tok == bpe.EOS_ID:
+                    break
+                stream(tok)
+                if should_stop() or engine.n_past >= cfg.n_ctx:
+                    break
+                logits = engine.eval([tok])
+            print()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""falcon_perplexity equivalent CLI."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ggllm_tpu.core.config import EngineConfig
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.engine.perplexity import perplexity
+from ggllm_tpu.io.loader import load_model
+from ggllm_tpu.tokenizer import bpe
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="wikitext-style perplexity")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-f", "--file", required=True, help="raw text file (wiki.test.raw)")
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-b", "--batch-size", type=int, default=512)
+    ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    args = ap.parse_args(argv)
+
+    cfg = EngineConfig(
+        n_ctx=args.ctx_size,
+        n_batch=args.batch_size,
+        kv_dtype=args.kv_dtype,
+        compute_dtype=args.compute_dtype,
+        weight_mode=args.weight_mode,
+    )
+    t0 = time.time()
+    mf, params = load_model(args.model, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg)
+    engine.timings.t_load_us = (time.time() - t0) * 1e6
+
+    with open(args.file, "rb") as f:
+        text = f.read().decode("utf-8", errors="replace")
+    tokens = bpe.tokenize(mf.vocab, text, bos=True)
+    print(f"tokenized {len(tokens)} tokens; "
+          f"{len(tokens) // cfg.n_ctx} chunks of {cfg.n_ctx}", file=sys.stderr)
+
+    def progress(i, n, ppl):
+        print(f"[{i}]{ppl:.4f},", end="", flush=True)
+
+    res = perplexity(engine, tokens, progress=progress)
+    print(f"\nperplexity: {res.ppl:.4f} [{res.n_chunks} chunks, {res.count} tokens]")
+    print(engine.timings.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""falcon_quantize equivalent: requantize a GGCC model file.
+
+Policy mirrors falcon_model_quantize_internal (libfalcon.cpp:3533-3743):
+quantize 2-D tensors whose name ends with 'weight'; lm_head only when
+--quantize-output; K-quants require dims divisible by 256 (Falcon-7B's
+4544-wide tensors are not — use legacy types there, libfalcon.cpp:3626-3635).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ggllm_tpu.core.dtypes import QK_K, FType, GGMLType, TYPE_TRAITS
+from ggllm_tpu.io.ggcc import GGCCWriter, read_model
+from ggllm_tpu.quant import registry
+
+# CLI name -> (ftype, tensor gtype); mirrors quantize.cpp:17-100's table
+FTYPE_MAP: dict[str, tuple[FType, GGMLType]] = {
+    "f32": (FType.ALL_F32, GGMLType.F32),
+    "f16": (FType.MOSTLY_F16, GGMLType.F16),
+    "q4_0": (FType.MOSTLY_Q4_0, GGMLType.Q4_0),
+    "q4_1": (FType.MOSTLY_Q4_1, GGMLType.Q4_1),
+    "q5_0": (FType.MOSTLY_Q5_0, GGMLType.Q5_0),
+    "q5_1": (FType.MOSTLY_Q5_1, GGMLType.Q5_1),
+    "q8_0": (FType.MOSTLY_Q8_0, GGMLType.Q8_0),
+    "q2_k": (FType.MOSTLY_Q2_K, GGMLType.Q2_K),
+    "q3_k": (FType.MOSTLY_Q3_K_M, GGMLType.Q3_K),
+    "q3_k_s": (FType.MOSTLY_Q3_K_S, GGMLType.Q3_K),
+    "q3_k_m": (FType.MOSTLY_Q3_K_M, GGMLType.Q3_K),
+    "q3_k_l": (FType.MOSTLY_Q3_K_L, GGMLType.Q3_K),
+    "q4_k": (FType.MOSTLY_Q4_K_M, GGMLType.Q4_K),
+    "q4_k_s": (FType.MOSTLY_Q4_K_S, GGMLType.Q4_K),
+    "q4_k_m": (FType.MOSTLY_Q4_K_M, GGMLType.Q4_K),
+    "q5_k": (FType.MOSTLY_Q5_K_M, GGMLType.Q5_K),
+    "q5_k_s": (FType.MOSTLY_Q5_K_S, GGMLType.Q5_K),
+    "q5_k_m": (FType.MOSTLY_Q5_K_M, GGMLType.Q5_K),
+    "q6_k": (FType.MOSTLY_Q6_K, GGMLType.Q6_K),
+}
+
+
+def quantize_file(
+    fname_in: str,
+    fname_out: str,
+    ftype_name: str,
+    quantize_output: bool = False,
+    allow_requantize: bool = False,
+    log=print,
+) -> dict:
+    ftype, qtype = FTYPE_MAP[ftype_name.lower()]
+    mf = read_model(fname_in)
+    hp = mf.hparams
+    hp.ftype = int(ftype)
+    writer = GGCCWriter(fname_out, hp, mf.vocab)
+
+    total_org = 0
+    total_new = 0
+    n = len(mf.tensors)
+    for idx, (name, t) in enumerate(mf.tensors.items()):
+        quant = (
+            name.endswith("weight")
+            and len(t.ne) == 2
+            and (quantize_output or name != "lm_head.weight")
+            and t.gtype != qtype
+        )
+        blob = np.asarray(mf.tensor_blob(name))
+        total_org += blob.nbytes
+        if not quant:
+            writer.write_tensor(name, t.gtype, t.ne, blob)
+            total_new += blob.nbytes
+            log(f"[{idx + 1:4d}/{n:4d}] {name:48s} {str(t.ne):>16s} "
+                f"{TYPE_TRAITS[t.gtype].name:>6s} (not quantizing)")
+            continue
+        if TYPE_TRAITS[qtype].block_size == QK_K and (
+            t.ne[0] % QK_K != 0 or (len(t.ne) > 1 and t.ne[1] % QK_K != 0)
+        ):
+            raise ValueError(
+                f"tensor {name} dims {t.ne} not divisible by {QK_K}; "
+                "K-quants unsupported for this model — use a legacy type"
+            )
+        if TYPE_TRAITS[t.gtype].is_quantized and not allow_requantize:
+            raise ValueError(
+                f"requantizing from {TYPE_TRAITS[t.gtype].name} is disabled "
+                "(pass --allow-requantize)"
+            )
+        f32 = mf.tensor_f32(name)
+        qblob = registry.quantize(qtype, f32)
+        writer.write_tensor(name, qtype, t.ne, qblob)
+        total_new += qblob.nbytes
+        log(f"[{idx + 1:4d}/{n:4d}] {name:48s} {str(t.ne):>16s} "
+            f"{TYPE_TRAITS[t.gtype].name:>6s} -> {TYPE_TRAITS[qtype].name:>6s} "
+            f"{blob.nbytes / 2**20:8.2f} MB -> {qblob.nbytes / 2**20:8.2f} MB")
+    writer.close()
+    log(f"total: {total_org / 2**20:.2f} MB -> {total_new / 2**20:.2f} MB")
+    return {"total_org": total_org, "total_new": total_new}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="quantize a GGCC Falcon model file")
+    ap.add_argument("model_in")
+    ap.add_argument("model_out")
+    ap.add_argument("ftype", choices=sorted(FTYPE_MAP.keys()))
+    ap.add_argument("--quantize-output", action="store_true",
+                    help="also quantize lm_head.weight")
+    ap.add_argument("--allow-requantize", action="store_true")
+    args = ap.parse_args(argv)
+    t0 = time.time()
+    quantize_file(
+        args.model_in, args.model_out, args.ftype,
+        quantize_output=args.quantize_output,
+        allow_requantize=args.allow_requantize,
+    )
+    print(f"quantize time = {(time.time() - t0) * 1000:.2f} ms")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

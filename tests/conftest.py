@@ -7,7 +7,8 @@ exercised by bench.py / the driver, not by the unit suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force: the session env may preset JAX_PLATFORMS to the real TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
