@@ -1,0 +1,73 @@
+"""Benchmark: Falcon-7B 4-bit decode tokens/sec on one TPU chip.
+
+Measures steady-state single-stream decode throughput at real Falcon-7B
+geometry with Q4_0 weights (BASELINE config 1/2 analogue; the reference's
+comparable number is 45.99 tok/s for 7B Q4_1 on an RTX 4090, README.md:183-191).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOKS = 45.99  # reference Falcon-7B Q4_1 decode on RTX 4090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ggllm_tpu.core.config import EngineConfig, FalconHParams
+    from ggllm_tpu.core.dtypes import GGMLType
+    from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.utils.benchgen import make_bench_params
+
+    hp = FalconHParams.falcon7b()
+    cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
+                       compute_dtype="bfloat16", weight_mode="fused")
+
+    t0 = time.time()
+    params = make_bench_params(hp, GGMLType.Q4_0)
+    params = jax.device_put(params)
+    print(f"params built in {time.time() - t0:.1f}s; backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    engine = FalconEngine(hp, params, cfg)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, hp.n_vocab, 128).tolist()
+
+    t0 = time.time()
+    engine.eval(prompt)  # prefill (includes compile)
+    print(f"prefill+compile {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # decode warmup (compile + cache settle)
+    tok = int(rng.integers(0, hp.n_vocab))
+    for _ in range(5):
+        logits = engine.eval([tok])
+        tok = int(np.argmax(logits))
+
+    n_decode = 64
+    t0 = time.perf_counter()
+    for _ in range(n_decode):
+        logits = engine.eval([tok])
+        tok = int(np.argmax(logits))
+    dt = time.perf_counter() - t0
+    toks = n_decode / dt
+
+    print(json.dumps({
+        "metric": "falcon7b_q4_decode_tokens_per_sec_per_chip",
+        "value": round(toks, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / BASELINE_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,15 +86,27 @@ class FalconEngine:
         params,
         cfg: EngineConfig | None = None,
         batch_size: int = 1,
+        mesh=None,
     ):
         self.hp = hparams
         self.cfg = cfg or EngineConfig()
-        self.params = params
         self.batch = batch_size
         self.st = FalconStatic.from_hparams(hparams)
         self.kv_dtype = jnp.dtype(self.cfg.kv_dtype)
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
+        self.mesh = mesh
+        self._kv_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from ggllm_tpu.parallel import sharding as shd
+
+            specs = shd.param_specs(params, hparams, mesh)
+            params = shd.shard_params(params, specs, mesh)
+            self._kv_sharding = NamedSharding(
+                mesh, shd.kv_specs(hparams, mesh, batch_size)
+            )
+        self.params = params
         self.n_past = 0
         self.kv = self.new_kv()
         self.timings = Timings()
@@ -105,6 +117,11 @@ class FalconEngine:
     def new_kv(self):
         hp, cfg = self.hp, self.cfg
         shape = (hp.n_layer, self.batch, cfg.n_ctx, hp.n_head_kv, hp.head_dim)
+        if self._kv_sharding is not None:
+            mk = lambda: jax.device_put(
+                jnp.zeros(shape, dtype=self.kv_dtype), self._kv_sharding
+            )
+            return (mk(), mk())
         return (
             jnp.zeros(shape, dtype=self.kv_dtype),
             jnp.zeros(shape, dtype=self.kv_dtype),

@@ -55,6 +55,26 @@ def _load_matrix(mf: ModelFile, name: str, mode: str, dtype):
     return QuantTensor(t.gtype, (rows, cols), planes)
 
 
+def _split_rows(w, sections: list[tuple[int, int]]):
+    """Split a (out, in) weight by output-row ranges (dense or QuantTensor)."""
+    if isinstance(w, QuantTensor):
+        parts = []
+        for lo, hi in sections:
+            planes = {k: v[lo:hi] for k, v in w.planes.items()}
+            parts.append(QuantTensor(w.gtype, (hi - lo, w.shape[1]), planes))
+        return parts
+    return [w[lo:hi] for lo, hi in sections]
+
+
+def _split_qkv(w, hp: FalconHParams):
+    """Fused [Q; K; V] rows -> (wq, wk, wv)."""
+    hd = hp.head_dim
+    q_end = hp.n_head * hd
+    k_end = q_end + hp.n_head_kv * hd
+    v_end = k_end + hp.n_head_kv * hd
+    return _split_rows(w, [(0, q_end), (q_end, k_end), (k_end, v_end)])
+
+
 def _stack(trees: list):
     """Stack a list of identical pytrees along a new leading axis."""
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
@@ -89,7 +109,9 @@ def load_params(
         if hp.n_falcon_type >= 40:
             for key in ("attn_ln_w", "attn_ln_b"):
                 lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
-        for key in ("qkv", "wo", "ffn_up", "ffn_down"):
+        qkv = _load_matrix(mf, names["qkv"], mode, dtype)
+        lw["wq"], lw["wk"], lw["wv"] = _split_qkv(qkv, hp)
+        for key in ("wo", "ffn_up", "ffn_down"):
             lw[key] = _load_matrix(mf, names[key], mode, dtype)
         layers.append(lw)
 

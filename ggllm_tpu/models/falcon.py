@@ -3,8 +3,10 @@
 Re-implements the computation of falcon_eval_internal (libfalcon.cpp:2011-2588)
 as a functional JAX program:
 
-* fused QKV projection with rows laid out [all Q; all K; all V]
-  (libfalcon.cpp:2204-2226 strided views / falcon_convert.py:155-179);
+* the file's fused QKV projection (rows [all Q; all K; all V],
+  libfalcon.cpp:2204-2226 / falcon_convert.py:155-179) is split at load time
+  into wq/wk/wv: under tensor parallelism Q shards cleanly by row while the
+  tiny MQA K/V projections replicate, which the fused matrix cannot express;
 * NeoX RoPE with dynamic NTK scaling on Q and K (libfalcon.cpp:2229-2234);
 * multi-query / grouped-query attention: n_head query heads share n_head_kv
   KV heads via broadcast (the reference's repeat2-vs-broadcast path,
@@ -120,11 +122,9 @@ def falcon_layer(
     else:
         ln_attn = ln_mlp
 
-    # fused QKV: rows = [Q(H*D); K(KV*D); V(KV*D)]
-    qkv = linear(lw["qkv"], ln_attn)  # (B, S, (H+2KV)*D)
-    q = qkv[..., : H * D].reshape(B, S, H, D)
-    kc = qkv[..., H * D : (H + KV) * D].reshape(B, S, KV, D)
-    vc = qkv[..., (H + KV) * D :].reshape(B, S, KV, D)
+    q = linear(lw["wq"], ln_attn).reshape(B, S, H, D)
+    kc = linear(lw["wk"], ln_attn).reshape(B, S, KV, D)
+    vc = linear(lw["wv"], ln_attn).reshape(B, S, KV, D)
 
     positions = n_past + jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
     q = apply_rope(q, positions, inv_freq)

@@ -1,0 +1,107 @@
+"""Fast synthetic parameter generation at real model scale.
+
+Benchmarks need Falcon-7B/40B-sized weights but no pretrained values; writing
+a multi-GB GGCC file first would dominate runtime. These builders produce the
+device parameter pytree directly: packed quant planes with random codes and
+well-scaled constants (perf-identical to real quantized weights), tiled
+random embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ggllm_tpu.core.config import FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType, TYPE_TRAITS
+from ggllm_tpu.ops.linear import _PLANE_ORDER, QuantTensor
+from ggllm_tpu.quant import planar, registry
+
+_rng = np.random.default_rng(42)
+
+
+def _tiled_random(shape, scale=0.02, dtype=np.float32) -> np.ndarray:
+    """Cheap large random array: tile a 64k random block."""
+    n = int(np.prod(shape))
+    block = (_rng.standard_normal(65536) * scale).astype(dtype)
+    reps = n // block.size + 1
+    return np.broadcast_to(block, (reps, block.size)).reshape(-1)[:n].reshape(shape).copy()
+
+
+def random_quant_tensor(gtype: GGMLType, out: int, cols: int, scale=0.02) -> QuantTensor:
+    """QuantTensor with random codes and constant scales (no quantize pass)."""
+    bs = TYPE_TRAITS[gtype].block_size
+    nb = cols // bs
+    planes: dict[str, np.ndarray] = {}
+    for key in _PLANE_ORDER[gtype]:
+        if key in ("d", "dl"):
+            groups = {"q2_K": 16, "q3_K": 16, "q6_K": 16, "q4_K": 8, "q5_K": 8}.get(
+                TYPE_TRAITS[gtype].name
+            )
+            shp = (out, nb) if groups is None else (out, nb, groups)
+            planes[key] = np.full(shp, scale / 8, dtype=np.float32)
+        elif key in ("m", "ml"):
+            prev = planes.get("dl")
+            shp = (out, nb) if prev is None or prev.ndim == 2 else prev.shape
+            planes[key] = np.full(shp, scale / 16, dtype=np.float32)
+        elif key == "qh" and gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+            planes[key] = _rng.integers(0, 2**32, (out, nb), dtype=np.uint32)
+        elif key == "qs" and gtype == GGMLType.Q8_0:
+            planes[key] = _rng.integers(-127, 128, (out, nb, 32), dtype=np.int8)
+        else:
+            nbytes = {
+                ("q4_0", "qs"): 16, ("q4_1", "qs"): 16, ("q5_0", "qs"): 16,
+                ("q5_1", "qs"): 16,
+                ("q2_K", "qs"): 64, ("q3_K", "qs"): 64, ("q3_K", "hmask"): 32,
+                ("q4_K", "qs"): 128, ("q5_K", "qs"): 128, ("q5_K", "qh"): 32,
+                ("q6_K", "ql"): 128, ("q6_K", "qh"): 64,
+            }[(TYPE_TRAITS[gtype].name, key)]
+            planes[key] = _rng.integers(0, 256, (out, nb, nbytes), dtype=np.uint8)
+    return QuantTensor(gtype, (out, cols), planes)
+
+
+def make_bench_params(
+    hp: FalconHParams,
+    gtype: GGMLType = GGMLType.Q4_0,
+    compute_dtype=jnp.bfloat16,
+):
+    """Full parameter pytree at hp's scale with quantized 2-D weights."""
+    E, H, KV, D, F, V = hp.n_embd, hp.n_head, hp.n_head_kv, hp.head_dim, hp.n_ff, hp.n_vocab
+
+    def qw(out, cols):
+        return random_quant_tensor(gtype, out, cols)
+
+    def stack_qt(parts: list[QuantTensor]) -> QuantTensor:
+        planes = {
+            k: jnp.asarray(np.stack([p.planes[k] for p in parts]))
+            for k in parts[0].planes
+        }
+        return QuantTensor(parts[0].gtype, parts[0].shape, planes)
+
+    def to_device(qt: QuantTensor) -> QuantTensor:
+        return QuantTensor(
+            qt.gtype, qt.shape, {k: jnp.asarray(v) for k, v in qt.planes.items()}
+        )
+
+    L = hp.n_layer
+    layers = {
+        "input_ln_w": jnp.ones((L, E), jnp.float32),
+        "input_ln_b": jnp.zeros((L, E), jnp.float32),
+        "wq": stack_qt([qw(H * D, E) for _ in range(L)]),
+        "wk": stack_qt([qw(KV * D, E) for _ in range(L)]),
+        "wv": stack_qt([qw(KV * D, E) for _ in range(L)]),
+        "wo": stack_qt([qw(E, H * D) for _ in range(L)]),
+        "ffn_up": stack_qt([qw(F, E) for _ in range(L)]),
+        "ffn_down": stack_qt([qw(E, F) for _ in range(L)]),
+    }
+    if hp.n_falcon_type >= 40:
+        layers["attn_ln_w"] = jnp.ones((L, E), jnp.float32)
+        layers["attn_ln_b"] = jnp.zeros((L, E), jnp.float32)
+
+    return {
+        "tok_embeddings": jnp.asarray(_tiled_random((V, E)), dtype=compute_dtype),
+        "output_norm": jnp.ones(E, jnp.float32),
+        "output_norm_b": jnp.zeros(E, jnp.float32),
+        "lm_head": to_device(qw(V, E)),
+        "layers": layers,
+    }
