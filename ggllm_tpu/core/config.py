@@ -81,6 +81,10 @@ class EngineConfig:
     # weight handling: "dequant" materializes bf16 weights at load;
     # "fused" keeps packed quant planes in HBM and uses Pallas kernels
     weight_mode: str = "fused"
+    # fused-kernel weight layout (kernels/layout.py): None = auto (TPU backend
+    # and no mesh — the Pallas kernels don't GSPMD-partition; the mesh path
+    # uses the XLA dequant fallback until the shard_map step lands)
+    kernel_layout: bool | None = None
     # mesh axes: data (replica), model (tensor-parallel)
     mesh_shape: tuple = (1, 1)
     mesh_axes: tuple = ("data", "model")

@@ -80,15 +80,35 @@ def _stack(trees: list):
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
 
 
+def _use_kernel_layout(cfg: EngineConfig, mesh) -> bool:
+    if cfg.weight_mode != "fused":
+        return False
+    if cfg.kernel_layout is not None:
+        return cfg.kernel_layout
+    return mesh is None and jax.default_backend() == "tpu"
+
+
+def _to_kernel(w):
+    """QuantTensor -> KernelQuant (host-side repack); dense passes through."""
+    from ggllm_tpu.kernels import layout as klayout
+
+    if isinstance(w, QuantTensor):
+        return klayout.to_kernel(w.gtype, w.planes, w.shape)
+    return w
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
+    mesh=None,
 ) -> dict:
     """Build the parameter pytree from a parsed model file."""
     cfg = cfg or EngineConfig()
     hp = mf.hparams
     dtype = jnp.dtype(cfg.compute_dtype)
     mode = cfg.weight_mode
+    kernel = _use_kernel_layout(cfg, mesh)
+    conv = _to_kernel if kernel else (lambda w: w)
 
     params: dict = {
         # embeddings stay dense: get_rows needs random row access
@@ -97,7 +117,7 @@ def load_params(
         ),
         "output_norm": jnp.asarray(mf.tensor_f32("transformer.ln_f.weight")),
         "output_norm_b": jnp.asarray(mf.tensor_f32("transformer.ln_f.bias")),
-        "lm_head": _load_matrix(mf, "lm_head.weight", mode, dtype),
+        "lm_head": conv(_load_matrix(mf, "lm_head.weight", mode, dtype)),
     }
 
     layers = []
@@ -110,16 +130,16 @@ def load_params(
             for key in ("attn_ln_w", "attn_ln_b"):
                 lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
         qkv = _load_matrix(mf, names["qkv"], mode, dtype)
-        lw["wq"], lw["wk"], lw["wv"] = _split_qkv(qkv, hp)
+        lw["wq"], lw["wk"], lw["wv"] = map(conv, _split_qkv(qkv, hp))
         for key in ("wo", "ffn_up", "ffn_down"):
-            lw[key] = _load_matrix(mf, names[key], mode, dtype)
+            lw[key] = conv(_load_matrix(mf, names[key], mode, dtype))
         layers.append(lw)
 
     params["layers"] = _stack(layers)
     return params
 
 
-def load_model(path: str, cfg: EngineConfig | None = None):
+def load_model(path: str, cfg: EngineConfig | None = None, mesh=None):
     """Convenience: parse file + build params. Returns (ModelFile, params)."""
     mf = read_model(path)
-    return mf, load_params(mf, cfg)
+    return mf, load_params(mf, cfg, mesh=mesh)

@@ -1,0 +1,206 @@
+"""Kernel-friendly weight layout for fused dequant-matmul Pallas kernels.
+
+The planar layout (quant/planar.py) keeps ggml's row-major block order, which
+is what the XLA fallback and parity tests consume. The Pallas kernels instead
+want **column-major, chunk-major bit-planes**:
+
+* the contraction axis K is split into ``n_k`` chunks of ``ck`` columns, so a
+  grid step streams one ``(ck, block_o)`` tile of each plane from HBM;
+* each format is decomposed into 1/2/4/8-bit code planes (e.g. Q5_0 = one
+  4-bit plane + one 1-bit plane shifted left 4, Q6_K = 4-bit + 2-bit<<4);
+* a b-bit plane stores ``parts = 8//b`` code groups per byte: within chunk c,
+  byte row j's bit-field i covers column ``c*ck + i*(ck//parts) + j`` — so the
+  kernel's unpack (shift/mask then sublane-concat of the parts) yields columns
+  in ascending order, matching a contiguous slice of x;
+* two-level K-quant scales were already flattened to effective per-group f32
+  scales at load (quant/planar.py); here they are just transposed and chunked
+  to ``(n_k, ck//group, O)``.
+
+The dequant semantics per format mirror ggml (ggml.c:879-924 legacy blocks,
+k_quants.h:20-83 super-blocks):  ``w = (q + offset) * scale - minval`` where
+q is the combined unsigned code (signed int8 for Q8_0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ggllm_tpu.core.dtypes import GGMLType
+
+
+@dataclass(frozen=True)
+class FormatSpec:
+    """Static dequant recipe for one ggml quant format."""
+
+    # (plane_name, bits, shift) — combined code q = sum(plane << shift)
+    planes: tuple[tuple[str, int, int], ...]
+    offset: float  # added to q before scaling
+    group: int  # columns sharing one scale
+    has_min: bool  # w = q*ds - ms (True) vs w = (q+offset)*ds (False)
+
+
+FORMATS: dict[GGMLType, FormatSpec] = {
+    GGMLType.Q4_0: FormatSpec((("q", 4, 0),), -8.0, 32, False),
+    GGMLType.Q4_1: FormatSpec((("q", 4, 0),), 0.0, 32, True),
+    GGMLType.Q5_0: FormatSpec((("q", 4, 0), ("h", 1, 4)), -16.0, 32, False),
+    GGMLType.Q5_1: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True),
+    GGMLType.Q8_0: FormatSpec((("q", 8, 0),), 0.0, 32, False),
+    GGMLType.Q2_K: FormatSpec((("q", 2, 0),), 0.0, 16, True),
+    GGMLType.Q3_K: FormatSpec((("q", 2, 0), ("h", 1, 2)), -4.0, 16, False),
+    GGMLType.Q4_K: FormatSpec((("q", 4, 0),), 0.0, 32, True),
+    GGMLType.Q5_K: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True),
+    GGMLType.Q6_K: FormatSpec((("q", 4, 0), ("h", 2, 4)), -32.0, 16, False),
+}
+
+# VMEM sizing: contraction chunk cap (i32 intermediates dominate)
+CK_MAX = 4096
+
+
+@jax.tree_util.register_pytree_node_class
+class KernelQuant:
+    """Quantized 2-D weight in fused-kernel layout. Logical shape (out, in).
+
+    planes: dict of device arrays —
+      code planes  (n_k, ck*bits//8, O) uint8 (int8 for the 8-bit plane)
+      "ds"         (n_k, ck//group, O) f32
+      "ms"         (n_k, ck//group, O) f32 (formats with has_min)
+    """
+
+    def __init__(self, gtype: GGMLType, shape: tuple, ck: int, planes: dict):
+        self.gtype = gtype
+        self.shape = tuple(shape)
+        self.ck = ck
+        self.planes = planes
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.planes))
+        return tuple(self.planes[k] for k in keys), (self.gtype, self.shape, self.ck, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        gtype, shape, ck, keys = aux
+        return cls(gtype, shape, ck, dict(zip(keys, children)))
+
+
+def choose_ck(K: int) -> int:
+    """Largest chunk ≤ CK_MAX that is either K itself or a 128-multiple
+    divisor of K (Pallas lane-blocking constraint on the x operand)."""
+    if K <= CK_MAX:
+        return K
+    best = 0
+    for m in range(128, CK_MAX + 1, 128):
+        if K % m == 0:
+            best = m
+    if best == 0:
+        return K  # cannot chunk; kernel will be skipped if VMEM-infeasible
+    return best
+
+
+def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Planar planes -> (codes (O,K) int16, ds (O,K//group) f32, ms or None).
+
+    codes are the combined unsigned per-element quant codes (signed for Q8_0),
+    in ggml element order; mirrors ops/linear.dequant_jnp exactly.
+    """
+    def nib(qs):  # (..., nbytes) -> (..., 2*nbytes) ggml half-split order
+        return np.concatenate([qs & 0xF, qs >> 4], axis=-1)
+
+    if gtype in (GGMLType.Q4_0, GGMLType.Q4_1):
+        codes = nib(p["qs"]).reshape(O, K)
+        return codes.astype(np.int16), p["d"], p.get("m")
+    if gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        shifts = np.arange(32, dtype=np.uint32)
+        hb = ((p["qh"][..., None] >> shifts) & 1).astype(np.uint8)
+        codes = (nib(p["qs"]) | (hb << 4)).reshape(O, K)
+        return codes.astype(np.int16), p["d"], p.get("m")
+    if gtype == GGMLType.Q8_0:
+        return p["qs"].reshape(O, K).astype(np.int16), p["d"], None
+    if gtype == GGMLType.Q2_K:
+        qs = p["qs"].reshape(O, -1, 2, 32)
+        shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+        two = (qs[..., None, :] >> shifts[:, None]) & 3
+        return two.reshape(O, K).astype(np.int16), p["dl"], p["ml"]
+    if gtype == GGMLType.Q3_K:
+        qs = p["qs"].reshape(O, -1, 2, 32)
+        shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+        two = ((qs[..., None, :] >> shifts[:, None]) & 3).reshape(O, K)
+        hbits = np.arange(8, dtype=np.uint8)
+        hm = ((p["hmask"][..., None, :] >> hbits[:, None]) & 1).reshape(O, K)
+        return (two | (hm << 2)).astype(np.int16), p["dl"], None
+    if gtype == GGMLType.Q4_K:
+        qs = p["qs"].reshape(O, -1, 4, 32)
+        codes = np.concatenate([qs & 0xF, qs >> 4], axis=-1).reshape(O, K)
+        return codes.astype(np.int16), p["dl"], p["ml"]
+    if gtype == GGMLType.Q5_K:
+        qs = p["qs"].reshape(O, -1, 4, 32)
+        hbits = np.arange(8, dtype=np.uint8)
+        hb = ((p["qh"][..., None, :] >> hbits[:, None]) & 1).reshape(O, -1, 8, 32)
+        lo = (qs & 0xF) | (hb[..., 0::2, :] << 4)
+        hi = (qs >> 4) | (hb[..., 1::2, :] << 4)
+        codes = np.concatenate([lo, hi], axis=-1).reshape(O, K)
+        return codes.astype(np.int16), p["dl"], p["ml"]
+    if gtype == GGMLType.Q6_K:
+        ql = p["ql"].reshape(O, -1, 2, 2, 32)
+        qh = p["qh"].reshape(O, -1, 2, 32)
+        shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+        h = (qh[..., None, :] >> shifts[:, None]) & 3
+        q1 = (ql[..., 0, :] & 0xF) | (h[..., 0, :] << 4)
+        q2 = (ql[..., 1, :] & 0xF) | (h[..., 1, :] << 4)
+        q3 = (ql[..., 0, :] >> 4) | (h[..., 2, :] << 4)
+        q4 = (ql[..., 1, :] >> 4) | (h[..., 3, :] << 4)
+        codes = np.stack([q1, q2, q3, q4], axis=-2).reshape(O, K)
+        return codes.astype(np.int16), p["dl"], None
+    raise NotImplementedError(f"extract_codes: {gtype}")
+
+
+def _pack_plane(sub: np.ndarray, bits: int, ck: int) -> np.ndarray:
+    """(O, K) sub-codes < 2^bits -> (n_k, ck*bits//8, O) packed bytes."""
+    O, K = sub.shape
+    parts = 8 // bits
+    n_k = K // ck
+    rows = ck // parts
+    s = np.ascontiguousarray(sub.T).reshape(n_k, parts, rows, O)
+    out = np.zeros((n_k, rows, O), np.uint8)
+    for i in range(parts):
+        out |= (s[:, i].astype(np.uint8) << (i * bits))
+    return out
+
+
+def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
+    """Planar QuantTensor planes -> KernelQuant (host-side numpy repack)."""
+    O, K = shape
+    spec = FORMATS[gtype]
+    ck = choose_ck(K)
+    assert K % ck == 0 and ck % max(spec.group, 8) == 0, (gtype, K, ck)
+    codes, ds, ms = extract_codes(gtype, planes, O, K)
+
+    out: dict[str, np.ndarray] = {}
+    for name, bits, shift in spec.planes:
+        sub = (codes >> shift) & ((1 << bits) - 1)
+        packed = _pack_plane(sub, bits, ck)
+        if bits == 8:  # Q8_0: keep signed codes as int8
+            packed = codes.T.reshape(K // ck, ck, O).astype(np.int8)
+        out[name] = packed
+
+    n_k = K // ck
+    g = spec.group
+
+    def chunk_scales(s: np.ndarray) -> np.ndarray:
+        # (O, nb[, sub]) effective scales -> (n_k, ck//g, O) f32
+        s2 = s.reshape(O, K // g)
+        return np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O).astype(np.float32)
+
+    out["ds"] = chunk_scales(ds)
+    if spec.has_min:
+        assert ms is not None
+        # Q4_1/Q5_1 store m (added); kernel computes q*ds - ms, so negate
+        sign = -1.0 if gtype in (GGMLType.Q4_1, GGMLType.Q5_1) else 1.0
+        out["ms"] = chunk_scales(ms) * np.float32(sign)
+    else:
+        # fold the integer offset into the min plane: w = q*ds + offset*ds
+        if spec.offset != 0.0:
+            out["ms"] = chunk_scales(ds) * np.float32(-spec.offset)
+    return KernelQuant(gtype, (O, K), ck, out)

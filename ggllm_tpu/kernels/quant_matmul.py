@@ -1,14 +1,120 @@
-"""Pallas fused dequant x matmul kernels (decode matvec + prefill MXU tiles).
+"""Fused dequant x matmul Pallas kernels for all ggml quant formats.
 
-Implemented incrementally per format; fused_matmul raises NotImplementedError
-for formats not yet covered and the dispatcher falls back to XLA
-dequantize-then-dot.
+One generic kernel, parameterized by kernels.layout.FormatSpec: per grid step
+it streams packed bit-plane tiles from HBM, unpacks on the VPU (widen to i32,
+shift/mask, sublane-concat of the bit-field parts so columns come out in
+ascending order), applies per-group scales (w = q*ds - ms; integer offsets
+are pre-folded into ms at load), and feeds the MXU.
+
+Grid: (s_tiles, out_tiles, k_chunks) with k innermost accumulating into the
+output block (revisit pattern). Replaces the reference's per-format CUDA
+dequant-matvec kernels (ggml-cuda.cu:475-1171) and the quantize-activations
+CPU hot loop (ggml.c:11318) with a single TPU program.
+
+The decode path (S=1) is HBM-bandwidth-bound: the kernel reads the packed
+planes exactly once per token, ~4.25 bits/weight for Q4_0 plus 1 bit/weight
+of f32 group scales.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggllm_tpu.kernels.layout import FORMATS, KernelQuant
 
 
-def fused_matmul(w, x: jnp.ndarray, out_dtype) -> jnp.ndarray:
-    raise NotImplementedError
+def _block_o(ck: int, O: int) -> int:
+    if O <= 256:
+        return O
+    return 128 if ck > 4608 else 256
+
+
+def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
+    # refs: x, code planes..., ds, [ms], out
+    x_ref = refs[0]
+    code_refs = refs[1 : 1 + n_code]
+    ds_ref = refs[1 + n_code]
+    ms_ref = refs[2 + n_code] if has_ms else None
+    o_ref = refs[-1]
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    q = None
+    for (name, bits, shift), ref in zip(spec.planes, code_refs):
+        v = ref[0].astype(jnp.int32)  # i8 vector shifts unsupported on TPU
+        if bits == 8:
+            unp = v
+        else:
+            mask = (1 << bits) - 1
+            parts = [(v >> (i * bits)) & mask for i in range(8 // bits)]
+            unp = jnp.concatenate(parts, axis=0)  # (ck, bo)
+        if shift:
+            unp = unp << shift
+        q = unp if q is None else q + unp
+
+    w = q.astype(jnp.float32) * jnp.repeat(ds_ref[0], spec.group, axis=0)
+    if ms_ref is not None:
+        w = w - jnp.repeat(ms_ref[0], spec.group, axis=0)
+    acc = jax.lax.dot_general(
+        x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] += acc
+
+
+def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
+                    interpret: bool = False) -> jnp.ndarray:
+    """y = x @ W^T. x (S, K) -> (S, O)."""
+    S, K = x.shape
+    O = kq.shape[0]
+    assert kq.shape[1] == K, (kq.shape, x.shape)
+    spec = FORMATS[kq.gtype]
+    ck = kq.ck
+    n_k = K // ck
+    bo = _block_o(ck, O)
+    bs = min(S, 256)
+    has_ms = "ms" in kq.planes
+    w_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+
+    code_planes = [kq.planes[name] for name, _, _ in spec.planes]
+    scale_planes = [kq.planes["ds"]] + ([kq.planes["ms"]] if has_ms else [])
+
+    in_specs = [pl.BlockSpec((bs, ck), lambda s, i, c: (s, c),
+                             memory_space=pltpu.VMEM)]
+    for p in code_planes + scale_planes:
+        rows = p.shape[1]
+        in_specs.append(
+            pl.BlockSpec((1, rows, bo), lambda s, i, c: (c, 0, i),
+                         memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_kern, spec, ck, len(code_planes), has_ms, w_dtype)
+    y = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(S, bs), pl.cdiv(O, bo), n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bs, bo), lambda s, i, c: (s, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, *code_planes, *scale_planes)
+    return y.astype(out_dtype)
+
+
+def fused_matmul(kq: KernelQuant, x: jnp.ndarray, out_dtype,
+                 interpret: bool = False) -> jnp.ndarray:
+    """y = x @ W^T with arbitrary leading batch dims on x."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = fused_matmul_2d(kq, x2, out_dtype, interpret=interpret)
+    return y.reshape(*lead, kq.shape[0])

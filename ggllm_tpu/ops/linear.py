@@ -130,10 +130,9 @@ def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> j
 def linear(w, x: jnp.ndarray, preferred_dtype=None) -> jnp.ndarray:
     """y = x @ W^T with f32 accumulation. W shape (out, in); x (..., in)."""
     out_dtype = preferred_dtype if preferred_dtype is not None else x.dtype
-    if isinstance(w, QuantTensor):
-        # fused Pallas path plugs in here; XLA fallback dequantizes per call
-        # (weights are dequantized inside the fusion, still HBM-heavy — the
-        # Pallas kernels in ggllm_tpu.kernels remove that cost)
+    from ggllm_tpu.kernels.layout import KernelQuant
+
+    if isinstance(w, (QuantTensor, KernelQuant)):
         from ggllm_tpu.kernels import dispatch as kdispatch
 
         return kdispatch.quant_matmul(w, x, out_dtype)

@@ -64,24 +64,41 @@ def make_bench_params(
     hp: FalconHParams,
     gtype: GGMLType = GGMLType.Q4_0,
     compute_dtype=jnp.bfloat16,
+    kernel: bool | None = None,
 ):
-    """Full parameter pytree at hp's scale with quantized 2-D weights."""
+    """Full parameter pytree at hp's scale with quantized 2-D weights.
+
+    kernel=None: auto — fused-kernel layout (KernelQuant) on TPU, planar
+    QuantTensors elsewhere.
+    """
+    import jax
+
+    from ggllm_tpu.kernels import layout as klayout
+
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
     E, H, KV, D, F, V = hp.n_embd, hp.n_head, hp.n_head_kv, hp.head_dim, hp.n_ff, hp.n_vocab
 
     def qw(out, cols):
-        return random_quant_tensor(gtype, out, cols)
+        qt = random_quant_tensor(gtype, out, cols)
+        if kernel:
+            return klayout.to_kernel(gtype, qt.planes, qt.shape)
+        return qt
 
-    def stack_qt(parts: list[QuantTensor]) -> QuantTensor:
+    def stack_qt(parts: list):
         planes = {
             k: jnp.asarray(np.stack([p.planes[k] for p in parts]))
             for k in parts[0].planes
         }
+        if kernel:
+            return klayout.KernelQuant(parts[0].gtype, parts[0].shape, parts[0].ck, planes)
         return QuantTensor(parts[0].gtype, parts[0].shape, planes)
 
-    def to_device(qt: QuantTensor) -> QuantTensor:
-        return QuantTensor(
-            qt.gtype, qt.shape, {k: jnp.asarray(v) for k, v in qt.planes.items()}
-        )
+    def to_device(qt):
+        planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+        if kernel:
+            return klayout.KernelQuant(qt.gtype, qt.shape, qt.ck, planes)
+        return QuantTensor(qt.gtype, qt.shape, planes)
 
     L = hp.n_layer
     layers = {
