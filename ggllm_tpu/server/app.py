@@ -1,0 +1,268 @@
+"""HTTP inference server.
+
+The capability analogue of examples/server/server.cpp (:784-895 route table):
+
+  POST /completion  — generate from a prompt; JSON body with the sampling
+                      surface of llama_server_context; ``stream: true`` sends
+                      SSE chunks (``data: {json}\n\n``), else one JSON object.
+  POST /tokenize    — {"content": str} -> {"tokens": [int]}
+  GET  /            — liveness/info JSON.
+
+Like the reference (one llama_server_context, server.cpp:29), the server
+wraps ONE engine and serializes generation requests; prompt-prefix reuse
+(common_part, server.cpp:281-292) keeps the KV cache warm across turns by
+rolling n_past back to the longest shared prefix. Stop strings are matched
+over the generated text with partial-suffix holdback in streaming mode so a
+stop word split across tokens is never leaked.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.tokenizer import bpe
+
+
+def _common_part(a: list[int], b: list[int]) -> int:
+    n = 0
+    while n < len(a) and n < len(b) and a[n] == b[n]:
+        n += 1
+    return n
+
+
+def _partial_stop(text: bytes, stops: list[bytes]) -> int:
+    """Longest tail of `text` that is a proper prefix of some stop string."""
+    best = 0
+    for s in stops:
+        for k in range(1, min(len(s), len(text)) + 1):
+            if text.endswith(s[:k]):
+                best = max(best, k)
+    return best
+
+
+class ServerState:
+    """One engine + its conversation cache, guarded by a lock."""
+
+    def __init__(self, engine: FalconEngine, vocab):
+        self.engine = engine
+        self.vocab = vocab
+        self.lock = threading.Lock()
+        self.cache_tokens: list[int] = []
+
+    # ------------------------------------------------------------ generate
+
+    def sampler_from(self, body: dict) -> sampling.SamplerParams:
+        return sampling.SamplerParams(
+            top_k=int(body.get("top_k", 40)),
+            top_p=float(body.get("top_p", 0.95)),
+            tfs_z=float(body.get("tfs_z", 1.0)),
+            typical_p=float(body.get("typical_p", 1.0)),
+            temp=float(body.get("temperature", 0.8)),
+            repeat_penalty=float(body.get("repeat_penalty", 1.1)),
+            repeat_last_n=int(body.get("repeat_last_n", 64)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            mirostat=int(body.get("mirostat", 0)),
+            mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+            mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+            penalize_nl=bool(body.get("penalize_nl", True)),
+            seed=int(body.get("seed", -1)),
+        )
+
+    def completion(self, body: dict, emit=None) -> dict:
+        """Run one completion. emit(chunk_dict) streams; returns final dict."""
+        eng = self.engine
+        cfg = eng.cfg
+        prompt = body.get("prompt", "")
+        n_predict = int(body.get("n_predict", 128))
+        stops = [s.encode() for s in body.get("stop", []) if s]
+        sampler = self.sampler_from(body)
+        state = sampling.SamplerState.init(sampler)
+
+        prompt_ids = bpe.tokenize(self.vocab, prompt, bos=True)
+        if len(prompt_ids) >= cfg.n_ctx:
+            # keep n_keep head + most recent tail (server.cpp truncation)
+            n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 2
+            prompt_ids = prompt_ids[:n_keep] + prompt_ids[-(cfg.n_ctx - n_keep - n_predict):]
+
+        # prefix reuse against the previous request's tokens
+        n_common = _common_part(self.cache_tokens, prompt_ids)
+        if n_common == len(prompt_ids):
+            n_common -= 1  # always re-eval at least the final token
+        if n_common > 0 and n_common <= eng.n_past:
+            eng.n_past = n_common
+            to_eval = prompt_ids[n_common:]
+        else:
+            eng.reset()
+            to_eval = prompt_ids
+
+        t0 = time.perf_counter()
+        logits = eng.eval(to_eval)
+        t_prompt = time.perf_counter() - t0
+
+        last_tokens = list(prompt_ids)
+        out = b""
+        sent = 0  # bytes already emitted (streaming)
+        tokens_predicted = 0
+        stop_reason = "limit"
+        t0 = time.perf_counter()
+        for _ in range(n_predict):
+            tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
+            last_tokens.append(tok)
+            if tok == bpe.EOS_ID:
+                stop_reason = "eos"
+                break
+            piece = self.vocab.id_to_token[tok]
+            out += piece
+            tokens_predicted += 1
+            hit = next((s for s in stops if s in out), None)
+            if hit is not None:
+                out = out[: out.index(hit)]
+                stop_reason = "stop"
+                break
+            if emit is not None:
+                hold = _partial_stop(out, stops)
+                ready = out[: len(out) - hold]
+                if len(ready) > sent:
+                    emit({"content": ready[sent:].decode("utf-8", "replace"),
+                          "stop": False})
+                    sent = len(ready)
+            if eng.n_past >= cfg.n_ctx:
+                stop_reason = "context"
+                break
+            logits = eng.eval([tok])
+        t_gen = time.perf_counter() - t0
+
+        self.cache_tokens = last_tokens
+        final = {
+            "content": out[sent:].decode("utf-8", "replace") if emit else
+                       out.decode("utf-8", "replace"),
+            "stop": True,
+            "stopped_reason": stop_reason,
+            "tokens_predicted": tokens_predicted,
+            "tokens_evaluated": len(to_eval),
+            "timings": {
+                "prompt_ms": round(t_prompt * 1e3, 2),
+                "predicted_ms": round(t_gen * 1e3, 2),
+                "predicted_per_second": round(tokens_predicted / t_gen, 2) if t_gen > 0 else None,
+            },
+        }
+        return final
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # structured one-liners to stderr
+            import sys
+            print(json.dumps({"ts": time.time(), "msg": fmt % args}), file=sys.stderr)
+
+        def _json(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n else b"{}"
+            return json.loads(raw or b"{}")
+
+        def do_GET(self):
+            if self.path == "/":
+                hp = state.engine.hp
+                self._json(200, {
+                    "status": "ok",
+                    "model": {"n_vocab": hp.n_vocab, "n_embd": hp.n_embd,
+                              "n_layer": hp.n_layer, "n_head": hp.n_head,
+                              "n_head_kv": hp.n_head_kv,
+                              "type": f"falcon-{hp.n_falcon_type}b"},
+                    "n_ctx": state.engine.cfg.n_ctx,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                body = self._body()
+            except (ValueError, json.JSONDecodeError):
+                self._json(400, {"error": "invalid json"})
+                return
+            if self.path == "/tokenize":
+                ids = bpe.tokenize(state.vocab, body.get("content", ""), bos=False)
+                self._json(200, {"tokens": [int(t) for t in ids]})
+                return
+            if self.path == "/detokenize":
+                ids = body.get("tokens", [])
+                text = b"".join(state.vocab.id_to_token[int(t)] for t in ids)
+                self._json(200, {"content": text.decode("utf-8", "replace")})
+                return
+            if self.path == "/completion":
+                with state.lock:
+                    if body.get("stream"):
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.send_header("Connection", "close")
+                        self.end_headers()
+
+                        def emit(chunk):
+                            self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                            self.wfile.flush()
+
+                        final = state.completion(body, emit=emit)
+                        emit(final)
+                        return
+                    final = state.completion(body)
+                self._json(200, final)
+                return
+            self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080):
+    state = ServerState(engine, vocab)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.io.loader import load_model
+
+    ap = argparse.ArgumentParser(description="Falcon inference server (TPU)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-b", "--batch-size", type=int, default=512)
+    ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    args = ap.parse_args(argv)
+
+    cfg = EngineConfig(n_ctx=args.ctx_size, n_batch=args.batch_size,
+                       kv_dtype=args.kv_dtype, compute_dtype=args.compute_dtype,
+                       weight_mode=args.weight_mode)
+    mf, params = load_model(args.model, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg)
+    httpd = serve(engine, mf.vocab, args.host, args.port)
+    print(f"listening on http://{args.host}:{httpd.server_address[1]}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""HTTP server tests against a tiny synthetic model (CPU).
+
+Covers the reference server surface (examples/server/server.cpp:784-895):
+/tokenize, /detokenize, /completion (blocking + SSE streaming), stop strings,
+and KV prefix reuse across requests.
+"""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.server.app import ServerState, serve, _common_part, _partial_stop
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.ggcc")
+    hp = FalconHParams.tiny()
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=5)
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=128, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32")
+    params = load_params(mf, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg)
+    httpd = serve(engine, mf.vocab, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_root(server):
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["model"]["n_layer"] == 2
+
+
+def test_tokenize_roundtrip(server):
+    out = _post(server, "/tokenize", {"content": "hello world"})
+    assert isinstance(out["tokens"], list) and out["tokens"]
+    back = _post(server, "/detokenize", {"tokens": out["tokens"]})
+    assert back["content"] == "hello world"
+
+
+def test_completion_blocking(server):
+    out = _post(server, "/completion",
+                {"prompt": "ab", "n_predict": 4, "temperature": 0.0})
+    assert out["stop"] is True
+    assert out["tokens_predicted"] >= 1
+    assert "content" in out and "timings" in out
+
+
+def test_completion_prefix_reuse(server):
+    a = _post(server, "/completion",
+              {"prompt": "abcd", "n_predict": 2, "temperature": 0.0})
+    b = _post(server, "/completion",
+              {"prompt": "abcd", "n_predict": 2, "temperature": 0.0})
+    assert b["tokens_evaluated"] <= a["tokens_evaluated"]
+    assert b["content"] == a["content"]  # deterministic greedy + same state
+
+
+def test_completion_streaming(server):
+    req = urllib.request.Request(
+        server + "/completion",
+        data=json.dumps({"prompt": "ab", "n_predict": 4,
+                         "temperature": 0.0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: "):
+                chunks.append(json.loads(line[6:]))
+    assert chunks and chunks[-1]["stop"] is True
+    assert all(not c["stop"] for c in chunks[:-1])
+
+
+def test_common_part_and_partial_stop():
+    assert _common_part([1, 2, 3], [1, 2, 4]) == 2
+    assert _partial_stop(b"hello <|e", [b"<|endoftext|>"]) == 3
+    assert _partial_stop(b"hello", [b"<|endoftext|>"]) == 0
