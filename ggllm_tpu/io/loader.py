@@ -45,9 +45,17 @@ def _layer_names(hp: FalconHParams, i: int) -> dict[str, str]:
     return names
 
 
-def _load_matrix(mf: ModelFile, name: str, mode: str, dtype):
+def _load_matrix(mf: ModelFile, name: str, mode: str, dtype, lora=None):
     """2-D weight -> dense jnp array (out, in) or QuantTensor planes (numpy)."""
     t = mf.tensors[name]
+    if lora is not None and name in lora.tensors:
+        # LoRA-patched weights densify (libfalcon.cpp:4100-4160 semantics:
+        # base dequant + scaling*B@A replaces the quantized tensor)
+        from ggllm_tpu.io import lora as lora_mod
+
+        return lora_mod.apply_to_matrix(
+            mf.tensor_f32(name).astype(np.float32), lora, name
+        ).astype(dtype)
     if mode == "dequant" or not GGMLType(t.gtype).name.startswith("Q"):
         return mf.tensor_f32(name).astype(dtype)
     rows, cols = t.shape  # numpy convention: (out, in)
@@ -101,14 +109,34 @@ def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
     mesh=None,
+    lora=None,
 ) -> dict:
-    """Build the parameter pytree from a parsed model file."""
+    """Build the parameter pytree from a parsed model file.
+
+    lora: optional LoraFile or path to a 'ggla' adapter; matched weights are
+    densified with the scaled delta applied.
+    """
     cfg = cfg or EngineConfig()
     hp = mf.hparams
     dtype = jnp.dtype(cfg.compute_dtype)
     mode = cfg.weight_mode
     kernel = _use_kernel_layout(cfg, mesh)
     conv = _to_kernel if kernel else (lambda w: w)
+    if isinstance(lora, str):
+        from ggllm_tpu.io import lora as lora_mod
+
+        lora = lora_mod.read_lora(lora)
+    # layer weights are stacked for lax.scan, so a key patched in ANY layer
+    # must densify in EVERY layer (mixed QuantTensor/dense cannot stack)
+    dense_keys: set[str] = set()
+    if lora is not None:
+        for i in range(hp.n_layer):
+            for key, tname in _layer_names(hp, i).items():
+                if tname in lora.tensors:
+                    dense_keys.add(key)
+
+    def layer_mode(key: str) -> str:
+        return "dequant" if key in dense_keys else mode
 
     params: dict = {
         # embeddings stay dense: get_rows needs random row access
@@ -117,7 +145,7 @@ def load_params(
         ),
         "output_norm": jnp.asarray(mf.tensor_f32("transformer.ln_f.weight")),
         "output_norm_b": jnp.asarray(mf.tensor_f32("transformer.ln_f.bias")),
-        "lm_head": conv(_load_matrix(mf, "lm_head.weight", mode, dtype)),
+        "lm_head": conv(_load_matrix(mf, "lm_head.weight", mode, dtype, lora)),
     }
 
     layers = []
@@ -129,17 +157,17 @@ def load_params(
         if hp.n_falcon_type >= 40:
             for key in ("attn_ln_w", "attn_ln_b"):
                 lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
-        qkv = _load_matrix(mf, names["qkv"], mode, dtype)
+        qkv = _load_matrix(mf, names["qkv"], layer_mode("qkv"), dtype, lora)
         lw["wq"], lw["wk"], lw["wv"] = map(conv, _split_qkv(qkv, hp))
         for key in ("wo", "ffn_up", "ffn_down"):
-            lw[key] = conv(_load_matrix(mf, names[key], mode, dtype))
+            lw[key] = conv(_load_matrix(mf, names[key], layer_mode(key), dtype, lora))
         layers.append(lw)
 
     params["layers"] = _stack(layers)
     return params
 
 
-def load_model(path: str, cfg: EngineConfig | None = None, mesh=None):
+def load_model(path: str, cfg: EngineConfig | None = None, mesh=None, lora=None):
     """Convenience: parse file + build params. Returns (ModelFile, params)."""
     mf = read_model(path)
-    return mf, load_params(mf, cfg, mesh=mesh)
+    return mf, load_params(mf, cfg, mesh=mesh, lora=lora)

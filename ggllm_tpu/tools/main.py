@@ -56,6 +56,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--finetune", default="auto",
                     choices=["auto", "none", "alpaca", "openassistant", "wizard", "falcon_ins"],
                     help="finetune template override")
+    ap.add_argument("--lora", default=None, help="apply a 'ggla' LoRA adapter")
     ap.add_argument("--prompt-cache", default=None, help="session file path")
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
@@ -75,7 +76,7 @@ def main(argv=None):
         weight_mode=args.weight_mode,
     )
     t0 = time.time()
-    mf, params = load_model(args.model, cfg)
+    mf, params = load_model(args.model, cfg, lora=args.lora)
     engine = FalconEngine(mf.hparams, params, cfg)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
     vocab = mf.vocab
