@@ -47,17 +47,23 @@ def main():
     engine.eval(prompt)  # prefill (includes compile)
     print(f"prefill+compile {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # decode warmup (compile + cache settle)
-    tok = int(rng.integers(0, hp.n_vocab))
-    for _ in range(5):
-        logits = engine.eval([tok])
-        tok = int(np.argmax(logits))
+    from ggllm_tpu.ops import sampling
 
-    n_decode = 64
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+
+    # warmup: compiles the fused decode loop
+    tok = int(rng.integers(0, hp.n_vocab))
+    t0 = time.time()
+    engine.decode_chunk(tok, 16, greedy)
+    print(f"decode-loop compile {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_decode = 128
+    done = 0
     t0 = time.perf_counter()
-    for _ in range(n_decode):
-        logits = engine.eval([tok])
-        tok = int(np.argmax(logits))
+    while done < n_decode:
+        toks, _ = engine.decode_chunk(tok, 16, greedy)
+        tok = int(toks[-1])
+        done += 16
     dt = time.perf_counter() - t0
     toks = n_decode / dt
 

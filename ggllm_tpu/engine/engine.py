@@ -28,9 +28,15 @@ import jax.numpy as jnp
 from ggllm_tpu.core.config import EngineConfig, FalconHParams
 from ggllm_tpu.models.falcon import FalconStatic, falcon_forward
 from ggllm_tpu.ops import sampling
+from ggllm_tpu.ops import sampling_device
 from ggllm_tpu.ops.rope import rope_angles
 
 PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+# tokens generated per device dispatch by the fused decode loop: large enough
+# to amortize host/launch overhead, small enough for responsive streaming and
+# stopword checks
+DECODE_CHUNK = 16
 
 
 def _bucket(n: int, n_batch: int) -> int:
@@ -116,16 +122,11 @@ class FalconEngine:
 
     def new_kv(self):
         hp, cfg = self.hp, self.cfg
-        shape = (hp.n_layer, self.batch, cfg.n_ctx, hp.n_head_kv, hp.head_dim)
+        shape = (hp.n_layer, 2, self.batch, cfg.n_ctx, hp.n_head_kv, hp.head_dim)
+        kv = jnp.zeros(shape, dtype=self.kv_dtype)
         if self._kv_sharding is not None:
-            mk = lambda: jax.device_put(
-                jnp.zeros(shape, dtype=self.kv_dtype), self._kv_sharding
-            )
-            return (mk(), mk())
-        return (
-            jnp.zeros(shape, dtype=self.kv_dtype),
-            jnp.zeros(shape, dtype=self.kv_dtype),
-        )
+            kv = jax.device_put(kv, self._kv_sharding)
+        return kv
 
     def reset(self):
         self.n_past = 0
@@ -138,10 +139,10 @@ class FalconEngine:
         if key not in self._fwd:
             st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
 
-            @partial(jax.jit, donate_argnums=(2, 3))
-            def fwd(params, tokens, kv_k, kv_v, n_past, last_pos):
+            @partial(jax.jit, donate_argnums=(2,))
+            def fwd(params, tokens, kv, n_past, last_pos):
                 return falcon_forward(
-                    params, tokens, kv_k, kv_v, n_past, inv_freq, st,
+                    params, tokens, kv, n_past, inv_freq, st,
                     logits_all=logits_all, compute_dtype=dtype, last_pos=last_pos,
                 )
 
@@ -176,8 +177,8 @@ class FalconEngine:
         buf[0, :n] = chunk
         t0 = time.perf_counter()
         fwd = self._forward_fn(pad, logits_all)
-        logits, kv_k, kv_v = fwd(
-            self.params, jnp.asarray(buf), self.kv[0], self.kv[1],
+        logits, kv = fwd(
+            self.params, jnp.asarray(buf), self.kv,
             jnp.int32(self.n_past), jnp.int32(n - 1),
         )
         logits = np.asarray(jax.device_get(logits), dtype=np.float32)
@@ -188,7 +189,7 @@ class FalconEngine:
         else:
             self.timings.t_decode_us += dt
             self.timings.n_decode += 1
-        self.kv = (kv_k, kv_v)
+        self.kv = kv
         self.n_past += n
         if logits_all:
             return logits[0, :n]
@@ -197,6 +198,65 @@ class FalconEngine:
     def eval(self, tokens, logits_all: bool = False) -> np.ndarray:
         """Reference falcon_eval equivalent."""
         return self.eval_tokens(tokens, logits_all=logits_all)
+
+    # ------------------------------------------------------- fused decoding
+
+    def _decode_loop_fn(self, n_steps: int, temp: float, top_k: int, top_p: float):
+        """Jitted scan: n_steps of forward + on-device sampling, one dispatch."""
+        key = ("loop", n_steps, temp, top_k, top_p)
+        if key not in self._fwd:
+            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def loop(params, tok, kv, n_past, rng):
+                def body(carry, _):
+                    tok, kv, n_past, rng = carry
+                    logits, kv = falcon_forward(
+                        params, tok.reshape(1, 1), kv, n_past, inv_freq,
+                        st, logits_all=False, compute_dtype=dtype, last_pos=0,
+                        unroll=True,
+                    )
+                    rng, sub = jax.random.split(rng)
+                    nxt = sampling_device.sample_logits(
+                        logits[0, 0], sub, temp, top_k, top_p)
+                    return (nxt, kv, n_past + 1, rng), nxt
+
+                carry, toks = jax.lax.scan(
+                    body, (tok, kv, n_past, rng), length=n_steps)
+                _, kv, _, rng = carry
+                return toks, kv, rng
+
+            self._fwd[key] = loop
+        return self._fwd[key]
+
+    def decode_chunk(self, first_token: int, n_steps: int, sampler=None,
+                     rng_key=None):
+        """Run n_steps fused forward+sample steps starting from first_token
+        (already sampled, not yet forwarded). Returns the n_steps sampled
+        successor ids; advances n_past by n_steps."""
+        sampler = sampler or sampling.SamplerParams(temp=0.0)
+        assert self.n_past + n_steps <= self.cfg.n_ctx, "context overflow"
+        loop = self._decode_loop_fn(
+            n_steps, float(sampler.temp), int(sampler.top_k), float(sampler.top_p))
+        if rng_key is None:
+            seed = sampler.seed if sampler.seed >= 0 else 0
+            rng_key = jax.random.PRNGKey(seed)
+        t0 = time.perf_counter()
+        toks, kv, rng_key = loop(
+            self.params, jnp.int32(first_token), self.kv,
+            jnp.int32(self.n_past), rng_key,
+        )
+        toks = np.asarray(jax.device_get(toks))
+        self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_decode += n_steps
+        self.kv = kv
+        self.n_past += n_steps
+        return toks, rng_key
+
+    def rollback(self, n_past: int):
+        """Roll the logical KV position back (stale cache beyond is masked)."""
+        assert 0 <= n_past <= self.n_past
+        self.n_past = n_past
 
     # ------------------------------------------------------------ generate
 
@@ -208,8 +268,17 @@ class FalconEngine:
         stop_ids: set | None = None,
         stream=None,
     ) -> list[int]:
-        """Greedy/sampled generation. Returns generated ids (without prompt)."""
+        """Greedy/sampled generation. Returns generated ids (without prompt).
+
+        Sampler configs covered by the on-device cascade (greedy/temp/top-k/
+        top-p, no penalties or mirostat) run DECODE_CHUNK tokens per dispatch
+        in a fused jitted loop; anything else falls back to the per-token
+        host cascade for exact reference sampling semantics.
+        """
         sampler = sampler or sampling.SamplerParams()
+        if sampling_device.device_samplable(sampler):
+            return self._generate_fused(prompt_ids, n_predict, sampler,
+                                        stop_ids or set(), stream)
         state = sampling.SamplerState.init(sampler)
         stop_ids = stop_ids or set()
         prompt_ids = list(map(int, np.asarray(prompt_ids).reshape(-1)))
@@ -231,4 +300,42 @@ class FalconEngine:
             if self.n_past >= self.cfg.n_ctx:
                 break
             logits = self._eval_chunk(np.array([tok], dtype=np.int32), logits_all=False)
+        return out
+
+    def _generate_fused(self, prompt_ids, n_predict, sampler, stop_ids, stream):
+        prompt_ids = list(map(int, np.asarray(prompt_ids).reshape(-1)))
+        logits = self.eval(prompt_ids)
+
+        t0 = time.perf_counter()
+        tok = sampling.sample(logits, list(prompt_ids), sampler,
+                              sampling.SamplerState.init(sampler), self.cfg.n_ctx)
+        self.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_sample += 1
+        out = [tok]
+        if stream is not None:
+            stream(tok)
+        if tok in stop_ids:
+            return out
+
+        rng = None
+        while len(out) < n_predict:
+            chunk = min(DECODE_CHUNK, n_predict - len(out),
+                        self.cfg.n_ctx - self.n_past)
+            if chunk <= 0:
+                break
+            start = self.n_past
+            toks, rng = self.decode_chunk(out[-1], chunk, sampler, rng)
+            self.timings.n_sample += chunk
+            stopped = False
+            for j, t in enumerate(map(int, toks)):
+                out.append(t)
+                if stream is not None:
+                    stream(t)
+                if t in stop_ids:
+                    # positions beyond the stop are stale; roll back
+                    self.rollback(start + j + 1)
+                    stopped = True
+                    break
+            if stopped:
+                break
         return out

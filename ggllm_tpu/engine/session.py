@@ -20,7 +20,6 @@ SESSION_VERSION = 1
 
 
 def save(path: str, engine, tokens: list[int]) -> None:
-    kv_k, kv_v = engine.kv
     np.savez_compressed(
         path,
         magic=SESSION_MAGIC,
@@ -31,8 +30,7 @@ def save(path: str, engine, tokens: list[int]) -> None:
         n_ctx=engine.cfg.n_ctx,
         n_past=engine.n_past,
         tokens=np.asarray(tokens, dtype=np.int32),
-        kv_k=np.asarray(kv_k).astype(np.float32),
-        kv_v=np.asarray(kv_v).astype(np.float32),
+        kv=np.asarray(engine.kv).astype(np.float32),
     )
 
 
@@ -54,6 +52,8 @@ def try_load(path: str, engine, prompt_ids: list[int]) -> list[int]:
             return list(prompt_ids)
         saved = z["tokens"]
         n_past = int(z["n_past"])
+        if "kv" not in z:
+            return list(prompt_ids)
     except Exception:
         return list(prompt_ids)
 
@@ -66,9 +66,6 @@ def try_load(path: str, engine, prompt_ids: list[int]) -> list[int]:
     if n == 0:
         return list(prompt_ids)
 
-    engine.kv = (
-        jnp.asarray(z["kv_k"]).astype(engine.kv_dtype),
-        jnp.asarray(z["kv_v"]).astype(engine.kv_dtype),
-    )
+    engine.kv = jnp.asarray(z["kv"]).astype(engine.kv_dtype)
     engine.n_past = n
     return list(prompt_ids[n:])

@@ -105,6 +105,52 @@ def _to_kernel(w):
     return w
 
 
+def _mergeable(a, b) -> bool:
+    return (
+        isinstance(a, QuantTensor) and isinstance(b, QuantTensor)
+        and a.gtype == b.gtype
+    ) or (not isinstance(a, QuantTensor) and not isinstance(b, QuantTensor))
+
+
+def _merge_kernel_weights(lw: dict, qkv, up, wo, down, parallel_norms: bool):
+    """Kernel-path weight merging: fewer matmul launches per layer.
+
+    * shared-norm models (7B): [QKV; FFN-up] output rows merge -> "wqkvu"
+      (one launch feeds attention and the FFN);
+    * wo / FFN-down merge along the contraction dim -> "w_od", fed
+      concat([attn, gelu(ff)]);
+    * mixed dense/quant or mixed-format pairs stay separate ("wqkv" + the
+      usual split keys).
+    """
+    from ggllm_tpu.kernels import layout as klayout
+
+    def dense(w):
+        return not isinstance(w, QuantTensor)
+
+    if not parallel_norms and _mergeable(qkv, up):
+        if dense(qkv):
+            lw["wqkvu"] = jnp.concatenate([jnp.asarray(qkv), jnp.asarray(up)], axis=0)
+        else:
+            planes = klayout.merge_out([qkv.planes, up.planes])
+            shape = (qkv.shape[0] + up.shape[0], qkv.shape[1])
+            lw["wqkvu"] = klayout.to_kernel(qkv.gtype, planes, shape)
+    else:
+        lw["wqkv"] = _to_kernel(qkv)
+        lw["ffn_up"] = _to_kernel(up)
+
+    if _mergeable(wo, down):
+        if dense(wo):
+            lw["w_od"] = jnp.concatenate([jnp.asarray(wo), jnp.asarray(down)], axis=1)
+        else:
+            planes = klayout.merge_in([wo.planes, down.planes])
+            shape = (wo.shape[0], wo.shape[1] + down.shape[1])
+            lw["w_od"] = klayout.to_kernel(wo.gtype, planes, shape)
+    else:
+        lw["wo"] = _to_kernel(wo)
+        lw["ffn_down"] = _to_kernel(down)
+    return lw
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
@@ -158,12 +204,23 @@ def load_params(
             for key in ("attn_ln_w", "attn_ln_b"):
                 lw[key] = mf.tensor_f32(names[key]).astype(np.float32)
         qkv = _load_matrix(mf, names["qkv"], layer_mode("qkv"), dtype, lora)
-        lw["wq"], lw["wk"], lw["wv"] = map(conv, _split_qkv(qkv, hp))
-        for key in ("wo", "ffn_up", "ffn_down"):
-            lw[key] = conv(_load_matrix(mf, names[key], layer_mode(key), dtype, lora))
+        if kernel:
+            up = _load_matrix(mf, names["ffn_up"], layer_mode("ffn_up"), dtype, lora)
+            wo = _load_matrix(mf, names["wo"], layer_mode("wo"), dtype, lora)
+            down = _load_matrix(mf, names["ffn_down"], layer_mode("ffn_down"), dtype, lora)
+            _merge_kernel_weights(lw, qkv, up, wo, down, hp.n_falcon_type >= 40)
+        else:
+            lw["wq"], lw["wk"], lw["wv"] = _split_qkv(qkv, hp)
+            for key in ("wo", "ffn_up", "ffn_down"):
+                lw[key] = _load_matrix(mf, names[key], layer_mode(key), dtype, lora)
         layers.append(lw)
 
-    params["layers"] = _stack(layers)
+    if kernel:
+        # keep layers unstacked: the unrolled decode loop feeds each layer's
+        # buffers straight to the Pallas kernels (no scan slice copies)
+        params["layers"] = [jax.tree.map(jnp.asarray, lw) for lw in layers]
+    else:
+        params["layers"] = _stack(layers)
     return params
 
 

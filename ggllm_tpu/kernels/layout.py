@@ -99,6 +99,37 @@ def choose_ck(K: int) -> int:
     return best
 
 
+def padded_k(K: int) -> int:
+    """Contraction dim padded (with zero blocks / zero scales) so the chunk
+    grid gets a healthy size: Falcon's 71-flavored dims (18176 = 142*128)
+    only divide into 256-wide chunks, but 18432 = 9*2048 does much better.
+    The kernel zero-pads x to match, so results are unchanged."""
+    if K <= CK_MAX:
+        return (K + 63) & ~63
+    lo = min(1024, CK_MAX)
+    k2 = (K + 127) & ~127
+    while True:
+        best = max((m for m in range(lo, CK_MAX + 1, 128) if k2 % m == 0),
+                   default=0)
+        if best:
+            return k2
+        k2 += 128
+
+
+def merge_out(parts: list[dict]) -> dict:
+    """Concat planar planes along the output-feature axis (axis 0):
+    merged weight rows = [part0; part1; ...], same K."""
+    keys = parts[0].keys()
+    return {k: np.concatenate([p[k] for p in parts], axis=0) for k in keys}
+
+
+def merge_in(parts: list[dict]) -> dict:
+    """Concat planar planes along the block axis (axis 1): merged weight
+    contraction dim = K0 + K1 + ..., same output rows."""
+    keys = parts[0].keys()
+    return {k: np.concatenate([p[k] for p in parts], axis=1) for k in keys}
+
+
 def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Planar planes -> (codes (O,K) int16, ds (O,K//group) f32, ms or None).
 
@@ -170,28 +201,36 @@ def _pack_plane(sub: np.ndarray, bits: int, ck: int) -> np.ndarray:
 
 
 def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
-    """Planar QuantTensor planes -> KernelQuant (host-side numpy repack)."""
+    """Planar QuantTensor planes -> KernelQuant (host-side numpy repack).
+
+    The contraction dim is zero-padded to padded_k(K); the kernel pads x to
+    match (zero codes x zero scales contribute nothing)."""
     O, K = shape
     spec = FORMATS[gtype]
-    ck = choose_ck(K)
-    assert K % ck == 0 and ck % max(spec.group, 8) == 0, (gtype, K, ck)
+    kp = padded_k(K)
+    ck = choose_ck(kp)
+    assert kp % ck == 0 and ck % max(spec.group, 8) == 0, (gtype, K, kp, ck)
     codes, ds, ms = extract_codes(gtype, planes, O, K)
+    if kp != K:
+        codes = np.pad(codes, ((0, 0), (0, kp - K)))
 
     out: dict[str, np.ndarray] = {}
     for name, bits, shift in spec.planes:
         sub = (codes >> shift) & ((1 << bits) - 1)
         packed = _pack_plane(sub, bits, ck)
         if bits == 8:  # Q8_0: keep signed codes as int8
-            packed = codes.T.reshape(K // ck, ck, O).astype(np.int8)
+            packed = codes.T.reshape(kp // ck, ck, O).astype(np.int8)
         out[name] = packed
 
-    n_k = K // ck
+    n_k = kp // ck
     g = spec.group
 
     def chunk_scales(s: np.ndarray) -> np.ndarray:
-        # (O, nb[, sub]) effective scales -> (n_k, ck//g, O) f32
-        s2 = s.reshape(O, K // g)
-        return np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O).astype(np.float32)
+        # (O, nb[, sub]) effective scales -> (n_k, ck//g, O) f32, K-padded
+        s2 = s.reshape(O, K // g).astype(np.float32)
+        if kp != K:
+            s2 = np.pad(s2, ((0, 0), (0, (kp - K) // g)))
+        return np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O)
 
     out["ds"] = chunk_scales(ds)
     if spec.has_min:

@@ -78,7 +78,10 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     assert kq.shape[1] == K, (kq.shape, x.shape)
     spec = FORMATS[kq.gtype]
     ck = kq.ck
-    n_k = K // ck
+    n_k = kq.planes["ds"].shape[0]
+    kp = n_k * ck  # padded contraction dim (kernels/layout.py padded_k)
+    if kp != K:
+        x = jnp.pad(x, ((0, 0), (0, kp - K)))
     bo = _block_o(ck, O)
     bs = min(S, 256)
     has_ms = "ms" in kq.planes

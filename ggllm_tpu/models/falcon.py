@@ -3,10 +3,6 @@
 Re-implements the computation of falcon_eval_internal (libfalcon.cpp:2011-2588)
 as a functional JAX program:
 
-* the file's fused QKV projection (rows [all Q; all K; all V],
-  libfalcon.cpp:2204-2226 / falcon_convert.py:155-179) is split at load time
-  into wq/wk/wv: under tensor parallelism Q shards cleanly by row while the
-  tiny MQA K/V projections replicate, which the fused matrix cannot express;
 * NeoX RoPE with dynamic NTK scaling on Q and K (libfalcon.cpp:2229-2234);
 * multi-query / grouped-query attention: n_head query heads share n_head_kv
   KV heads via broadcast (the reference's repeat2-vs-broadcast path,
@@ -16,10 +12,22 @@ as a functional JAX program:
   40B/180B have separate ln_attn / ln_mlp (libfalcon.cpp:2177-2188);
 * GELU FFN (4x expansion), final layernorm, lm_head.
 
-Instead of rebuilding a graph per token like the reference, layer weights are
-stacked on a leading axis and the layer loop is a single lax.scan — one
-compiled layer body, static shapes, KV cache updated functionally in the scan
-carry (donated by the engine so XLA updates it in place).
+Layer weights are stacked on a leading axis and the layer loop is a single
+lax.scan — one compiled layer body, static shapes, KV cache updated
+functionally in the scan carry (donated by the engine).
+
+Two parameter layouts are supported (the loader picks per backend):
+
+* **merged** (single-chip fused-kernel path): the file's fused QKV stays one
+  matrix; on 7B (shared input layernorm) FFN-up is merged in as extra output
+  rows ("wqkvu"), and wo / FFN-down merge along the contraction dim ("w_od",
+  fed concat([attn, gelu(ff)])). One matmul launch instead of 3-4 per block
+  halves the kernel count per layer — decode on this hardware is launch-bound,
+  not FLOP-bound. RoPE runs once over the contiguous [Q; K] head block, and
+  K/V append to a single (L, 2, B, T, KV, D) cache with one update.
+* **split** (tensor-parallel path): wq/wk/wv/wo/ffn_up/ffn_down as separate
+  (possibly sharded) matrices — Megatron TP needs the output-dim split that
+  a fused matrix cannot express (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -104,15 +112,19 @@ def _attention(
     return out.reshape(B, S, H, D).astype(q.dtype)
 
 
-def falcon_layer(
-    x: jnp.ndarray,  # (B, S, E)
-    lw: dict[str, Any],  # per-layer weights (leading L axis removed by scan)
-    k_cache: jnp.ndarray,  # (B, T, KV, D)
-    v_cache: jnp.ndarray,
-    n_past: jnp.ndarray,
-    inv_freq: jnp.ndarray,
-    st: FalconStatic,
-):
+def _project_merged(x_ln: jnp.ndarray, lw: dict, st: FalconStatic):
+    """Merged wqkvu path -> (qkv (B,S,(H+2KV)*D), ff (B,S,F))."""
+    n_qkv = (st.n_head + 2 * st.n_head_kv) * st.head_dim
+    if "wqkvu" in lw:
+        proj = linear(lw["wqkvu"], x_ln)
+        return proj[..., :n_qkv], proj[..., n_qkv:]
+    return None, None
+
+
+def _layer_pre(x, lw, n_past, inv_freq, st: FalconStatic):
+    """Everything before the KV-cache write: norms, projections, RoPE.
+
+    Returns (q (B,S,H,D), kv_new (2,B,S,KV,D) pre-cast, gelu'd ff)."""
     B, S, E = x.shape
     H, KV, D = st.n_head, st.n_head_kv, st.head_dim
 
@@ -122,63 +134,112 @@ def falcon_layer(
     else:
         ln_attn = ln_mlp
 
-    q = linear(lw["wq"], ln_attn).reshape(B, S, H, D)
-    kc = linear(lw["wk"], ln_attn).reshape(B, S, KV, D)
-    vc = linear(lw["wv"], ln_attn).reshape(B, S, KV, D)
+    if "wqkvu" in lw:  # 7B merged: one launch for QKV + FFN-up
+        qkv, ff = _project_merged(ln_attn, lw, st)
+        qkv = qkv.reshape(B, S, H + 2 * KV, D)
+    elif "wqkv" in lw:  # 40B merged: fused QKV, separate up (different norm)
+        qkv = linear(lw["wqkv"], ln_attn).reshape(B, S, H + 2 * KV, D)
+        ff = linear(lw["ffn_up"], ln_mlp)
+    else:  # split (TP) layout
+        q_ = linear(lw["wq"], ln_attn).reshape(B, S, H, D)
+        k_ = linear(lw["wk"], ln_attn).reshape(B, S, KV, D)
+        v_ = linear(lw["wv"], ln_attn).reshape(B, S, KV, D)
+        qkv = jnp.concatenate([q_, k_, v_], axis=2)
+        ff = linear(lw["ffn_up"], ln_mlp)
 
+    # RoPE over the contiguous [Q; K] head block, V untouched
     positions = n_past + jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
-    q = apply_rope(q, positions, inv_freq)
-    kc = apply_rope(kc, positions, inv_freq)
+    qk = apply_rope(qkv[:, :, : H + KV], positions, inv_freq)
+    q = qk[:, :, :H]
+    kv_new = jnp.concatenate(
+        [qk[:, :, H:][None], qkv[:, :, H + KV :][None]], axis=0
+    )  # (2, B, S, KV, D)
+    gf = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)
+    return q, kv_new, gf
 
-    # append to cache at n_past (static S, dynamic offset)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, kc.astype(k_cache.dtype), (0, n_past, 0, 0)
+
+def _layer_post(x, lw, attn, gf, st: FalconStatic):
+    """Output projection + parallel residual."""
+    B, S, E = x.shape
+    if "w_od" in lw:  # merged wo+down along K: one launch, fed [attn; gelu]
+        act = jnp.concatenate([attn.reshape(B, S, st.n_head * st.head_dim), gf],
+                              axis=-1)
+        out = linear(lw["w_od"], act)
+    else:
+        out = linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim)) \
+            + linear(lw["ffn_down"], gf)
+    return x + out
+
+
+def falcon_layer(
+    x: jnp.ndarray,  # (B, S, E)
+    lw: dict[str, Any],  # per-layer weights (leading L axis removed by scan)
+    kv_cache: jnp.ndarray,  # (2, B, T, KV, D)
+    n_past: jnp.ndarray,
+    inv_freq: jnp.ndarray,
+    st: FalconStatic,
+):
+    q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
+    kv_cache = jax.lax.dynamic_update_slice(
+        kv_cache, kv_new.astype(kv_cache.dtype), (0, 0, n_past, 0, 0)
     )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, vc.astype(v_cache.dtype), (0, n_past, 0, 0)
-    )
-
-    attn = _attention(q, k_cache, v_cache, n_past, st)
-    attn_out = linear(lw["wo"], attn.reshape(B, S, H * D))
-
-    ff = linear(lw["ffn_up"], ln_mlp)
-    ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)
-    ff_out = linear(lw["ffn_down"], ff)
-
-    # parallel residual
-    return x + attn_out + ff_out, k_cache, v_cache
+    attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
+    return _layer_post(x, lw, attn, gf, st), kv_cache
 
 
 def falcon_forward(
     params: dict[str, Any],
     tokens: jnp.ndarray,  # (B, S) int32
-    kv_k: jnp.ndarray,  # (L, B, T, KV, D)
-    kv_v: jnp.ndarray,
+    kv: jnp.ndarray,  # (L, 2, B, T, KV, D)
     n_past: jnp.ndarray,  # scalar int32
     inv_freq: jnp.ndarray,  # (D/2,) f32
     st: FalconStatic,
     logits_all: bool = False,
     compute_dtype=jnp.bfloat16,
     last_pos: jnp.ndarray | int = 0,
+    unroll: bool = False,
 ):
-    """Run the full model. Returns (logits f32, new kv_k, new kv_v).
+    """Run the full model. Returns (logits f32, new kv).
 
     logits_all=False returns logits for position `last_pos` only (decode /
     padded-prefill path); True returns (B, S, V) (perplexity path).
+
+    unroll=True replaces the layer scan with a python loop: static slices of
+    the stacked layer weights are buffer offsets (no copy), where the scan's
+    dynamic slices materialize every plane each step — measurably dominant
+    in the decode profile. Use for the decode loop; keep the scan for
+    prefill/perplexity where compile time matters more.
     """
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
 
-    def body(carry, xs):
-        h = carry
-        lw, kc, vc = xs
-        h, kc, vc = falcon_layer(h, lw, kc, vc, n_past, inv_freq, st)
-        return h, (kc, vc)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)) or unroll:
+        # Unrolled layer loop. The kernel path keeps layers UNSTACKED (a list
+        # of per-layer weight dicts): each Pallas call reads its layer's
+        # buffers directly. A scan over stacked planes would dynamic-slice
+        # (i.e. copy) every weight every step — decode is HBM-bound, and that
+        # copy doubles the bytes touched per token.
+        for l in range(st.n_layer):
+            lw = layers[l] if isinstance(layers, (list, tuple)) else \
+                jax.tree.map(lambda a, _l=l: a[_l], layers)
+            q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
+            # single small in-place write into the donated stacked cache
+            kv = jax.lax.dynamic_update_slice(
+                kv, kv_new[None].astype(kv.dtype), (l, 0, 0, n_past, 0, 0))
+            attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
+            x = _layer_post(x, lw, attn, gf, st)
+    else:
+        def body(carry, xs):
+            h = carry
+            lw, kvc = xs
+            h, kvc = falcon_layer(h, lw, kvc, n_past, inv_freq, st)
+            return h, kvc
 
-    x, (kv_k, kv_v) = jax.lax.scan(body, x, (params["layers"], kv_k, kv_v))
+        x, kv = jax.lax.scan(body, x, (params["layers"], kv))
 
     x = layer_norm(x, params["output_norm"], params["output_norm_b"])
     if not logits_all:
         B, S, E = x.shape
         x = jax.lax.dynamic_slice(x, (0, jnp.asarray(last_pos, jnp.int32), 0), (B, 1, E))
     logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
-    return logits, kv_k, kv_v
+    return logits, kv

@@ -1,0 +1,46 @@
+"""On-device sampling for the fused decode loop.
+
+Covers the hot subset of the sampling cascade (greedy, temperature, top-k,
+top-p) as pure jnp so the whole decode step — forward, sample, KV append —
+compiles into one program and multiple tokens run per host dispatch. The
+full host cascade (ops/sampling.py: penalties, tfs, typical, mirostat)
+remains the reference path for the long tail of sampler configs; the engine
+falls back to it automatically (see FalconEngine.generate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def device_samplable(sampler) -> bool:
+    """True if SamplerParams is within the fused device cascade's coverage."""
+    return (
+        sampler.mirostat == 0
+        and sampler.tfs_z >= 1.0
+        and sampler.typical_p >= 1.0
+        and sampler.repeat_penalty == 1.0
+        and sampler.frequency_penalty == 0.0
+        and sampler.presence_penalty == 0.0
+        and not sampler.logit_bias
+    )
+
+
+def sample_logits(logits: jnp.ndarray, key, temp: float, top_k: int,
+                  top_p: float) -> jnp.ndarray:
+    """One token id from (n_vocab,) f32 logits. temp<=0 -> greedy."""
+    if temp <= 0.0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    k = top_k if 0 < top_k < logits.shape[-1] else min(logits.shape[-1], 1024)
+    vals, idx = jax.lax.top_k(logits, k)  # descending
+    vals = vals / jnp.float32(temp)
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals)
+        cum = jnp.cumsum(probs)
+        # keep tokens while the cumulative mass BEFORE them is < top_p
+        # (reference keeps at least one, llama_sample_top_p libfalcon.cpp:3122)
+        keep = jnp.concatenate([jnp.ones((1,), bool), cum[:-1] < top_p])
+        vals = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, vals)
+    return idx[choice].astype(jnp.int32)

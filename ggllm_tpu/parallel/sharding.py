@@ -116,12 +116,12 @@ def param_specs(params, hp: FalconHParams, mesh: Mesh):
 
 
 def kv_specs(hp: FalconHParams, mesh: Mesh, batch: int = 1):
-    """PartitionSpec for the (L, B, T, KV, D) KV cache arrays."""
+    """PartitionSpec for the (L, 2, B, T, KV, D) KV cache array."""
     model_size = mesh.shape["model"]
     data_axis = "data" if batch % mesh.shape["data"] == 0 and batch >= mesh.shape["data"] else None
     if hp.n_head_kv % model_size == 0 and hp.n_head_kv >= model_size:
-        return P(None, data_axis, None, "model", None)
-    return P(None, data_axis, None, None, None)
+        return P(None, None, data_axis, None, "model", None)
+    return P(None, None, data_axis, None, None, None)
 
 
 def to_named(spec_tree, mesh: Mesh):

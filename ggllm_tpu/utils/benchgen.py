@@ -101,19 +101,42 @@ def make_bench_params(
         return QuantTensor(qt.gtype, qt.shape, planes)
 
     L = hp.n_layer
-    layers = {
-        "input_ln_w": jnp.ones((L, E), jnp.float32),
-        "input_ln_b": jnp.zeros((L, E), jnp.float32),
-        "wq": stack_qt([qw(H * D, E) for _ in range(L)]),
-        "wk": stack_qt([qw(KV * D, E) for _ in range(L)]),
-        "wv": stack_qt([qw(KV * D, E) for _ in range(L)]),
-        "wo": stack_qt([qw(E, H * D) for _ in range(L)]),
-        "ffn_up": stack_qt([qw(F, E) for _ in range(L)]),
-        "ffn_down": stack_qt([qw(E, F) for _ in range(L)]),
-    }
-    if hp.n_falcon_type >= 40:
-        layers["attn_ln_w"] = jnp.ones((L, E), jnp.float32)
-        layers["attn_ln_b"] = jnp.zeros((L, E), jnp.float32)
+    parallel_norms = hp.n_falcon_type >= 40
+    n_qkv = (H + 2 * KV) * D
+    if kernel:
+        # merged, UNSTACKED layout: list of per-layer dicts, one buffer per
+        # weight (io/loader; decode unrolls, no scan slice copies). The
+        # random planes are built once and shared across layers — bench
+        # cares about bytes streamed, not values.
+        proto = {
+            "input_ln_w": jnp.ones(E, jnp.float32),
+            "input_ln_b": jnp.zeros(E, jnp.float32),
+            "w_od": to_device(qw(E, H * D + F)),
+        }
+        if parallel_norms:
+            proto["wqkv"] = to_device(qw(n_qkv, E))
+            proto["ffn_up"] = to_device(qw(F, E))
+            proto["attn_ln_w"] = jnp.ones(E, jnp.float32)
+            proto["attn_ln_b"] = jnp.zeros(E, jnp.float32)
+        else:
+            proto["wqkvu"] = to_device(qw(n_qkv + F, E))
+        # layers share buffers: HBM traffic per layer is identical to
+        # distinct weights, which is what the bench measures
+        layers = [dict(proto) for _ in range(L)]
+    else:
+        layers = {
+            "input_ln_w": jnp.ones((L, E), jnp.float32),
+            "input_ln_b": jnp.zeros((L, E), jnp.float32),
+            "wq": stack_qt([qw(H * D, E) for _ in range(L)]),
+            "wk": stack_qt([qw(KV * D, E) for _ in range(L)]),
+            "wv": stack_qt([qw(KV * D, E) for _ in range(L)]),
+            "wo": stack_qt([qw(E, H * D) for _ in range(L)]),
+            "ffn_up": stack_qt([qw(F, E) for _ in range(L)]),
+            "ffn_down": stack_qt([qw(E, F) for _ in range(L)]),
+        }
+        if parallel_norms:
+            layers["attn_ln_w"] = jnp.ones((L, E), jnp.float32)
+            layers["attn_ln_b"] = jnp.zeros((L, E), jnp.float32)
 
     return {
         "tok_embeddings": jnp.asarray(_tiled_random((V, E)), dtype=compute_dtype),

@@ -1,0 +1,85 @@
+"""Fused on-device decode loop vs per-token host path (must match exactly
+under greedy decoding — same forward, same argmax)."""
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.ops.sampling_device import device_samplable
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+
+@pytest.fixture(scope="module")
+def engine_factory(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("eng") / "tiny.ggcc")
+    hp = FalconHParams.tiny()
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=11)
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32")
+
+    def make():
+        return FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+
+    return make
+
+
+def test_device_samplable_classification():
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    assert device_samplable(greedy)
+    assert not device_samplable(sampling.SamplerParams())  # default penalties
+    assert not device_samplable(sampling.SamplerParams(mirostat=2, repeat_penalty=1.0))
+
+
+def test_fused_greedy_matches_host_loop(engine_factory):
+    prompt = [5, 17, 130, 42, 99, 260, 31, 7]
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    assert device_samplable(greedy)
+
+    eng = engine_factory()
+    fused = eng.generate(prompt, n_predict=24, sampler=greedy)
+
+    eng2 = engine_factory()
+    logits = eng2.eval(prompt)
+    host = []
+    for _ in range(24):
+        tok = int(np.argmax(logits))
+        host.append(tok)
+        logits = eng2.eval([tok])
+
+    assert fused == host
+
+
+def test_fused_stop_token_rollback(engine_factory):
+    prompt = [5, 17, 130, 42]
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    eng = engine_factory()
+    ref = eng.generate(prompt, n_predict=24, sampler=greedy)
+    stop = ref[5]  # force a stop mid-chunk
+
+    eng2 = engine_factory()
+    out = eng2.generate(prompt, n_predict=24, sampler=greedy, stop_ids={stop})
+    assert out == ref[: out.index(stop) + 1]
+    assert out[-1] == stop
+    # n_past = prompt + forwarded tokens (everything before the stop token)
+    assert eng2.n_past == len(prompt) + len(out) - 1
+
+    # continuing from the rolled-back state stays consistent with ref
+    nxt = eng2.generate([stop], n_predict=4, sampler=greedy)
+    i = out.index(stop)
+    assert nxt == ref[i + 1 : i + 5]
+
+
+def test_fused_sampled_reproducible(engine_factory):
+    prompt = [5, 17, 130]
+    s = sampling.SamplerParams(temp=0.8, top_k=20, top_p=0.9,
+                               repeat_penalty=1.0, seed=42)
+    a = engine_factory().generate(prompt, n_predict=16, sampler=s)
+    b = engine_factory().generate(prompt, n_predict=16, sampler=s)
+    assert a == b
+    assert len(a) == 16
