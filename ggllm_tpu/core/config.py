@@ -18,6 +18,8 @@ class FalconHParams:
     ftype: int = 1
     n_bpe_merges: int = 64784
 
+    arch = "falcon"
+
     @property
     def head_dim(self) -> int:
         return self.n_embd // self.n_head
@@ -51,6 +53,44 @@ class FalconHParams:
         kw.setdefault("n_vocab", 512)
         kw.setdefault("n_bpe_merges", 0)
         return cls(n_embd=128, n_head=8, n_head_kv=2, n_layer=2, n_falcon_type=40, **kw)
+
+
+@dataclass
+class LlamaHParams:
+    """LLaMA hyperparameters (llama_hparams, llama.cpp:124-133)."""
+
+    n_vocab: int = 32000
+    n_embd: int = 4096
+    n_mult: int = 256
+    n_head: int = 32
+    n_layer: int = 32
+    n_rot: int = 64
+    ftype: int = 1
+
+    arch = "llama"
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @property
+    def n_head_kv(self) -> int:
+        return self.n_head  # LLaMA-1: no grouped-query attention
+
+    @property
+    def n_ff(self) -> int:
+        # llama.cpp:1074
+        return ((2 * (4 * self.n_embd) // 3 + self.n_mult - 1)
+                // self.n_mult) * self.n_mult
+
+    @classmethod
+    def llama7b(cls, **kw) -> "LlamaHParams":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaHParams":
+        kw.setdefault("n_vocab", 512)
+        return cls(n_embd=128, n_mult=32, n_head=4, n_layer=2, n_rot=32, **kw)
 
 
 @dataclass

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ggllm_tpu.core.config import EngineConfig, FalconHParams
-from ggllm_tpu.models.falcon import FalconStatic, falcon_forward
+from ggllm_tpu.models import resolve as resolve_model
 from ggllm_tpu.ops import sampling
 from ggllm_tpu.ops import sampling_device
 from ggllm_tpu.ops.rope import rope_angles
@@ -97,7 +97,7 @@ class FalconEngine:
         self.hp = hparams
         self.cfg = cfg or EngineConfig()
         self.batch = batch_size
-        self.st = FalconStatic.from_hparams(hparams)
+        self.st, self._forward = resolve_model(hparams)
         self.kv_dtype = jnp.dtype(self.cfg.kv_dtype)
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
@@ -138,10 +138,11 @@ class FalconEngine:
         key = (seq_len, logits_all)
         if key not in self._fwd:
             st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            forward = self._forward
 
             @partial(jax.jit, donate_argnums=(2,))
             def fwd(params, tokens, kv, n_past, last_pos):
-                return falcon_forward(
+                return forward(
                     params, tokens, kv, n_past, inv_freq, st,
                     logits_all=logits_all, compute_dtype=dtype, last_pos=last_pos,
                 )
@@ -206,12 +207,13 @@ class FalconEngine:
         key = ("loop", n_steps, temp, top_k, top_p)
         if key not in self._fwd:
             st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            forward = self._forward
 
             @partial(jax.jit, donate_argnums=(2,))
             def loop(params, tok, kv, n_past, rng):
                 def body(carry, _):
                     tok, kv, n_past, rng = carry
-                    logits, kv = falcon_forward(
+                    logits, kv = forward(
                         params, tok.reshape(1, 1), kv, n_past, inv_freq,
                         st, logits_all=False, compute_dtype=dtype, last_pos=0,
                         unroll=True,

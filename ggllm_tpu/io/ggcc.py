@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ggllm_tpu.core.config import FalconHParams
+from ggllm_tpu.core.config import FalconHParams, LlamaHParams
 from ggllm_tpu.core.dtypes import GGMLType, row_nbytes
 from ggllm_tpu.quant import registry
 from ggllm_tpu.tokenizer.bpe import Vocab
@@ -69,9 +69,13 @@ class TensorRecord:
 class ModelFile:
     path: str
     version: int
-    hparams: FalconHParams
+    hparams: FalconHParams | LlamaHParams
     vocab: Vocab
     tensors: dict[str, TensorRecord] = field(default_factory=dict)
+
+    @property
+    def arch(self) -> str:
+        return self.hparams.arch
 
     _mm: np.memmap = None
 
@@ -102,8 +106,25 @@ def _read_f32(f) -> float:
     return struct.unpack("<f", f.read(4))[0]
 
 
-def read_model(path: str | Path, load_merges: bool = True) -> ModelFile:
-    """Parse a model file's header, vocab, merges and tensor metadata."""
+def _detect_arch(version: int, raw: tuple) -> str:
+    """Pre-GGCC files carry 7 u32 hparams for BOTH model families; the
+    reference disambiguates by binary (llama.cpp vs libfalcon.cpp). Here:
+    llama iff field5 == n_embd // field3 (n_rot == head_dim); falcon iff
+    field5 in {7, 40, 180} (n_falcon_type)."""
+    n_vocab, n_embd, f2, f3, f4, f5, ftype = raw
+    if f5 in (7, 40, 180) and f2 and n_embd % f2 == 0:
+        return "falcon"
+    if f3 and n_embd % f3 == 0 and f5 == n_embd // f3:
+        return "llama"
+    return "falcon"
+
+
+def read_model(path: str | Path, load_merges: bool = True,
+               arch: str = "auto") -> ModelFile:
+    """Parse a model file's header, vocab, merges and tensor metadata.
+
+    arch: "auto" (GGCC -> falcon; pre-GGCC -> heuristic over the 7-field
+    hparams header), or explicit "falcon"/"llama"."""
     path = str(path)
     fsize = Path(path).stat().st_size
     with open(path, "rb") as f:
@@ -123,16 +144,23 @@ def read_model(path: str | Path, load_merges: bool = True) -> ModelFile:
                     f"unknown (magic, version): {magic:08x}, is this a GGML/GGCC file?"
                 )
 
-        hp = FalconHParams(
-            n_vocab=_read_u32(f),
-            n_embd=_read_u32(f),
-            n_head=_read_u32(f),
-            n_head_kv=_read_u32(f),
-            n_layer=_read_u32(f),
-            n_falcon_type=_read_u32(f),
-            ftype=_read_u32(f),
-            n_bpe_merges=0,
-        )
+        raw = struct.unpack("<7I", f.read(28))
+        if version >= V_GGCC_1:
+            arch = "falcon"
+        elif arch == "auto":
+            arch = _detect_arch(version, raw)
+
+        if arch == "llama":
+            hp = LlamaHParams(
+                n_vocab=raw[0], n_embd=raw[1], n_mult=raw[2], n_head=raw[3],
+                n_layer=raw[4], n_rot=raw[5], ftype=raw[6],
+            )
+        else:
+            hp = FalconHParams(
+                n_vocab=raw[0], n_embd=raw[1], n_head=raw[2], n_head_kv=raw[3],
+                n_layer=raw[4], n_falcon_type=raw[5], ftype=raw[6],
+                n_bpe_merges=0,
+            )
         if version >= V_GGCC_1:
             hp.n_bpe_merges = _read_u32(f)
 
@@ -182,6 +210,27 @@ def read_model(path: str | Path, load_merges: bool = True) -> ModelFile:
             f.seek(nbytes, 1)
 
     return model
+
+
+class GGJTWriter:
+    """Streaming GGJT v3 writer for LLaMA-family files (the legacy llama.cpp
+    on-disk format; hparams order per llama.cpp:124-133)."""
+
+    def __init__(self, path: str | Path, hparams: LlamaHParams, vocab: Vocab):
+        self.f = open(path, "wb")
+        self.f.write(struct.pack("<II", MAGIC_GGJT, 3))
+        for v in (hparams.n_vocab, hparams.n_embd, hparams.n_mult,
+                  hparams.n_head, hparams.n_layer, hparams.n_rot, hparams.ftype):
+            self.f.write(struct.pack("<I", v))
+        for tok, score in zip(vocab.id_to_token, vocab.scores):
+            self.f.write(struct.pack("<I", len(tok)))
+            self.f.write(tok)
+            self.f.write(struct.pack("<f", score))
+
+    write_tensor = None  # assigned below (shared with GGCCWriter)
+
+    def close(self):
+        self.f.close()
 
 
 class GGCCWriter:
@@ -238,3 +287,9 @@ class GGCCWriter:
 
     def close(self):
         self.f.close()
+
+
+# GGJT tensor records share the GGCC layout (32-byte aligned data)
+GGJTWriter.write_tensor = GGCCWriter.write_tensor
+GGJTWriter._u32 = GGCCWriter._u32
+GGJTWriter.write_array = GGCCWriter.write_array

@@ -151,6 +151,93 @@ def _merge_kernel_weights(lw: dict, qkv, up, wo, down, parallel_norms: bool):
     return lw
 
 
+def _llama_names(i: int) -> dict[str, str]:
+    """Tensor names per LLaMA layer (llama.cpp:1124-1151)."""
+    p = f"layers.{i}"
+    return {
+        "attn_norm": f"{p}.attention_norm.weight",
+        "wq": f"{p}.attention.wq.weight",
+        "wk": f"{p}.attention.wk.weight",
+        "wv": f"{p}.attention.wv.weight",
+        "wo": f"{p}.attention.wo.weight",
+        "ffn_norm": f"{p}.ffn_norm.weight",
+        "w1": f"{p}.feed_forward.w1.weight",
+        "w2": f"{p}.feed_forward.w2.weight",
+        "w3": f"{p}.feed_forward.w3.weight",
+    }
+
+
+def _merge_rows_kernel(parts):
+    """Same-format QuantTensors -> one KernelQuant over concatenated rows;
+    None when not mergeable (mixed dense/format)."""
+    from ggllm_tpu.kernels import layout as klayout
+
+    if all(not isinstance(p, QuantTensor) for p in parts):
+        return jnp.concatenate([jnp.asarray(p) for p in parts], axis=0)
+    if not all(isinstance(p, QuantTensor) for p in parts):
+        return None
+    if len({p.gtype for p in parts}) != 1:
+        return None
+    planes = klayout.merge_out([p.planes for p in parts])
+    shape = (sum(p.shape[0] for p in parts), parts[0].shape[1])
+    return klayout.to_kernel(parts[0].gtype, planes, shape)
+
+
+def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
+                       lora, dtype) -> dict:
+    hp = mf.hparams
+    mode = cfg.weight_mode
+    params: dict = {
+        "tok_embeddings": jnp.asarray(
+            mf.tensor_f32("tok_embeddings.weight").astype(dtype)),
+        "output_norm": jnp.asarray(mf.tensor_f32("norm.weight")),
+        "lm_head": _to_kernel(_load_matrix(mf, "output.weight", mode, dtype, lora))
+        if kernel else _load_matrix(mf, "output.weight", mode, dtype, lora),
+    }
+    # a LoRA-patched key densifies in every layer (stack/merge homogeneity)
+    dense_keys: set[str] = set()
+    if lora is not None:
+        for i in range(hp.n_layer):
+            for k, t in _llama_names(i).items():
+                if t in lora.tensors:
+                    dense_keys.add(k)
+
+    layers = []
+    for i in range(hp.n_layer):
+        names = _llama_names(i)
+        lw: dict = {
+            "attn_norm": mf.tensor_f32(names["attn_norm"]).astype(np.float32),
+            "ffn_norm": mf.tensor_f32(names["ffn_norm"]).astype(np.float32),
+        }
+        mats = {k: _load_matrix(mf, names[k],
+                                "dequant" if k in dense_keys else mode,
+                                dtype, lora)
+                for k in ("wq", "wk", "wv", "wo", "w1", "w2", "w3")}
+        if kernel:
+            wqkv = _merge_rows_kernel([mats["wq"], mats["wk"], mats["wv"]])
+            if wqkv is not None:
+                lw["wqkv"] = wqkv
+            else:
+                for k in ("wq", "wk", "wv"):
+                    lw[k] = _to_kernel(mats[k])
+            w13 = _merge_rows_kernel([mats["w1"], mats["w3"]])
+            if w13 is not None:
+                lw["w13"] = w13
+            else:
+                lw["w1"] = _to_kernel(mats["w1"])
+                lw["w3"] = _to_kernel(mats["w3"])
+            lw["wo"] = _to_kernel(mats["wo"])
+            lw["w2"] = _to_kernel(mats["w2"])
+        else:
+            lw.update(mats)
+        layers.append(lw)
+    if kernel:
+        params["layers"] = [jax.tree.map(jnp.asarray, lw) for lw in layers]
+    else:
+        params["layers"] = _stack(layers)
+    return params
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
@@ -172,6 +259,8 @@ def load_params(
         from ggllm_tpu.io import lora as lora_mod
 
         lora = lora_mod.read_lora(lora)
+    if mf.arch == "llama":
+        return _load_llama_params(mf, cfg, kernel, lora, dtype)
     # layer weights are stacked for lax.scan, so a key patched in ANY layer
     # must densify in EVERY layer (mixed QuantTensor/dense cannot stack)
     dense_keys: set[str] = set()

@@ -1,0 +1,163 @@
+"""LLaMA forward pass, TPU-native.
+
+Re-implements llama_eval_internal (llama.cpp:1368-1660) in the same engine
+framework as the Falcon model (same KV-cache layout, same jit/scan/unroll
+discipline, same quant-kernel dispatch through ops/linear):
+
+* RMSNorm (eps 1e-6, ggml_rms_norm) instead of layernorm;
+* classic GPT-NeoX-free RoPE (ggml rope mode 0: adjacent pairs (2j, 2j+1)),
+  applied to all n_rot = head_dim dims;
+* sequential residuals: x += wo(attn(rmsnorm(x))); x += ffn(rmsnorm(x));
+* SwiGLU FFN: w2(silu(w1 h) * w3 h);
+* no GQA: n_head_kv == n_head.
+
+Weight layouts: merged kernel path stacks [wq; wk; wv] rows -> "wqkv" and
+[w1; w3] rows -> "w13" (both pairs share an input); wo and w2 stay separate
+(sequential dependency). Split layout keeps all seven matrices for TP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ggllm_tpu.core.config import LlamaHParams
+from ggllm_tpu.models.falcon import _attention
+from ggllm_tpu.ops.linear import linear
+
+RMS_EPS = 1e-6  # ggml_rms_norm epsilon
+
+
+@dataclass(frozen=True)
+class LlamaStatic:
+    n_layer: int
+    n_head: int
+    n_head_kv: int
+    head_dim: int
+    n_embd: int
+    n_ff: int
+    n_vocab: int
+    n_rot: int
+    parallel_norms: bool = False  # interface parity with FalconStatic
+
+    @classmethod
+    def from_hparams(cls, hp: LlamaHParams) -> "LlamaStatic":
+        return cls(
+            n_layer=hp.n_layer, n_head=hp.n_head, n_head_kv=hp.n_head,
+            head_dim=hp.head_dim, n_embd=hp.n_embd, n_ff=hp.n_ff,
+            n_vocab=hp.n_vocab, n_rot=hp.n_rot,
+        )
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + RMS_EPS)
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def apply_rope_classic(x: jnp.ndarray, positions: jnp.ndarray,
+                       inv_freq: jnp.ndarray, n_rot: int) -> jnp.ndarray:
+    """ggml rope mode 0: rotate adjacent pairs (2j, 2j+1) of the first n_rot
+    dims (ggml.c rope non-neox path). x: (B, S, H, D)."""
+    theta = positions.astype(jnp.float32)[..., None] * inv_freq[: n_rot // 2]
+    cos = jnp.cos(theta)[..., None, :]  # (B, S, 1, n_rot/2)
+    sin = jnp.sin(theta)[..., None, :]
+    xr = x[..., :n_rot].astype(jnp.float32)
+    x0 = xr[..., 0::2]
+    x1 = xr[..., 1::2]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    rot = jnp.stack([r0, r1], axis=-1).reshape(xr.shape).astype(x.dtype)
+    if n_rot == x.shape[-1]:
+        return rot
+    return jnp.concatenate([rot, x[..., n_rot:]], axis=-1)
+
+
+def _layer_pre(x, lw, n_past, inv_freq, st: LlamaStatic):
+    """RMSNorm + QKV projection + RoPE. Returns (q, kv_new (2,B,S,H,D))."""
+    B, S, E = x.shape
+    H, D = st.n_head, st.head_dim
+    h = rms_norm(x, lw["attn_norm"])
+    if "wqkv" in lw:
+        qkv = linear(lw["wqkv"], h).reshape(B, S, 3 * H, D)
+    else:
+        q_ = linear(lw["wq"], h).reshape(B, S, H, D)
+        k_ = linear(lw["wk"], h).reshape(B, S, H, D)
+        v_ = linear(lw["wv"], h).reshape(B, S, H, D)
+        qkv = jnp.concatenate([q_, k_, v_], axis=2)
+
+    positions = n_past + jnp.arange(S, dtype=jnp.int32)[None, :]
+    qk = apply_rope_classic(qkv[:, :, : 2 * H], positions, inv_freq, st.n_rot)
+    q = qk[:, :, :H]
+    kv_new = jnp.concatenate(
+        [qk[:, :, H:][None], qkv[:, :, 2 * H :][None]], axis=0)
+    return q, kv_new
+
+
+def _ffn(x, lw, st: LlamaStatic):
+    h = rms_norm(x, lw["ffn_norm"])
+    if "w13" in lw:
+        g = linear(lw["w13"], h)
+        gate, up = g[..., : st.n_ff], g[..., st.n_ff :]
+    else:
+        gate = linear(lw["w1"], h)
+        up = linear(lw["w3"], h)
+    act = (jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up)
+    return linear(lw["w2"], act)
+
+
+def llama_layer(x, lw, kv_cache, n_past, inv_freq, st: LlamaStatic):
+    q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
+    kv_cache = jax.lax.dynamic_update_slice(
+        kv_cache, kv_new.astype(kv_cache.dtype), (0, 0, n_past, 0, 0))
+    attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
+    B, S, _ = x.shape
+    x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
+    return x + _ffn(x, lw, st), kv_cache
+
+
+def llama_forward(
+    params: dict[str, Any],
+    tokens: jnp.ndarray,  # (B, S)
+    kv: jnp.ndarray,  # (L, 2, B, T, H, D)
+    n_past: jnp.ndarray,
+    inv_freq: jnp.ndarray,
+    st: LlamaStatic,
+    logits_all: bool = False,
+    compute_dtype=jnp.bfloat16,
+    last_pos: jnp.ndarray | int = 0,
+    unroll: bool = False,
+):
+    """Same contract as falcon_forward (engine-interchangeable)."""
+    x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
+
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)) or unroll:
+        for l in range(st.n_layer):
+            lw = layers[l] if isinstance(layers, (list, tuple)) else \
+                jax.tree.map(lambda a, _l=l: a[_l], layers)
+            q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
+            kv = jax.lax.dynamic_update_slice(
+                kv, kv_new[None].astype(kv.dtype), (l, 0, 0, n_past, 0, 0))
+            attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
+            B, S, _ = x.shape
+            x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
+            x = x + _ffn(x, lw, st)
+    else:
+        def body(carry, xs):
+            h = carry
+            lw, kvc = xs
+            h, kvc = llama_layer(h, lw, kvc, n_past, inv_freq, st)
+            return h, kvc
+
+        x, kv = jax.lax.scan(body, x, (layers, kv))
+
+    x = rms_norm(x, params["output_norm"])
+    if not logits_all:
+        B, S, E = x.shape
+        x = jax.lax.dynamic_slice(x, (0, jnp.asarray(last_pos, jnp.int32), 0), (B, 1, E))
+    logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
+    return logits, kv

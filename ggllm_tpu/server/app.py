@@ -27,7 +27,7 @@ import numpy as np
 
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.ops import sampling
-from ggllm_tpu.tokenizer import bpe
+from ggllm_tpu import tokenizer as tok_mod
 
 
 def _common_part(a: list[int], b: list[int]) -> int:
@@ -50,9 +50,10 @@ def _partial_stop(text: bytes, stops: list[bytes]) -> int:
 class ServerState:
     """One engine + its conversation cache, guarded by a lock."""
 
-    def __init__(self, engine: FalconEngine, vocab):
+    def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon"):
         self.engine = engine
         self.vocab = vocab
+        self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
         self.lock = threading.Lock()
         self.cache_tokens: list[int] = []
 
@@ -86,7 +87,7 @@ class ServerState:
         sampler = self.sampler_from(body)
         state = sampling.SamplerState.init(sampler)
 
-        prompt_ids = bpe.tokenize(self.vocab, prompt, bos=True)
+        prompt_ids = self.tk.tokenize(prompt, bos=True)
         if len(prompt_ids) >= cfg.n_ctx:
             # keep n_keep head + most recent tail (server.cpp truncation)
             n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 2
@@ -116,7 +117,7 @@ class ServerState:
         for _ in range(n_predict):
             tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
             last_tokens.append(tok)
-            if tok == bpe.EOS_ID:
+            if tok == self.tk.eos_id:
                 stop_reason = "eos"
                 break
             piece = self.vocab.id_to_token[tok]
@@ -181,12 +182,14 @@ def make_handler(state: ServerState):
         def do_GET(self):
             if self.path == "/":
                 hp = state.engine.hp
+                mtype = (f"falcon-{hp.n_falcon_type}b"
+                         if getattr(hp, "arch", "falcon") == "falcon" else "llama")
                 self._json(200, {
                     "status": "ok",
                     "model": {"n_vocab": hp.n_vocab, "n_embd": hp.n_embd,
                               "n_layer": hp.n_layer, "n_head": hp.n_head,
                               "n_head_kv": hp.n_head_kv,
-                              "type": f"falcon-{hp.n_falcon_type}b"},
+                              "type": mtype},
                     "n_ctx": state.engine.cfg.n_ctx,
                 })
             else:
@@ -199,7 +202,7 @@ def make_handler(state: ServerState):
                 self._json(400, {"error": "invalid json"})
                 return
             if self.path == "/tokenize":
-                ids = bpe.tokenize(state.vocab, body.get("content", ""), bos=False)
+                ids = state.tk.tokenize(body.get("content", ""), bos=False)
                 self._json(200, {"tokens": [int(t) for t in ids]})
                 return
             if self.path == "/detokenize":
@@ -231,8 +234,9 @@ def make_handler(state: ServerState):
     return Handler
 
 
-def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080):
-    state = ServerState(engine, vocab)
+def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080,
+          arch: str = "falcon"):
+    state = ServerState(engine, vocab, arch)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     return httpd
 
@@ -259,7 +263,7 @@ def main(argv=None):
                        weight_mode=args.weight_mode)
     mf, params = load_model(args.model, cfg)
     engine = FalconEngine(mf.hparams, params, cfg)
-    httpd = serve(engine, mf.vocab, args.host, args.port)
+    httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch)
     print(f"listening on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

@@ -18,7 +18,7 @@ from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.engine import session as session_mod
 from ggllm_tpu.io.loader import load_model
 from ggllm_tpu.ops import sampling
-from ggllm_tpu.tokenizer import bpe
+from ggllm_tpu import tokenizer as tok_mod
 from ggllm_tpu.utils.finetune import detect_finetune, build_prompt, finetune_stopwords
 
 
@@ -80,6 +80,7 @@ def main(argv=None):
     engine = FalconEngine(mf.hparams, params, cfg)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
     vocab = mf.vocab
+    tk = tok_mod.for_model(mf)
 
     sampler = sampling.SamplerParams(
         top_k=args.top_k, top_p=args.top_p, tfs_z=args.tfs, typical_p=args.typical,
@@ -104,9 +105,9 @@ def main(argv=None):
         stopwords = [s for s in args.stopwords.split("|") if s]
     print(f"finetune: {finetune}; stopwords: {stopwords}", file=sys.stderr)
 
-    prompt_ids = bpe.tokenize(vocab, prompt, bos=not prompt.startswith("<|endoftext|>"))
+    prompt_ids = tk.tokenize(prompt, bos=not prompt.startswith("<|endoftext|>"))
     if not prompt_ids:
-        prompt_ids = [bpe.BOS_ID]
+        prompt_ids = [tk.bos_id]
 
     # session reuse (--prompt-cache): skip matching prefix
     eval_ids = list(prompt_ids)
@@ -152,7 +153,7 @@ def main(argv=None):
         engine.timings.n_sample += 1
         last_tokens.append(tok)
         n_out += 1
-        if tok == bpe.EOS_ID:
+        if tok == tk.eos_id:
             break
         stream(tok)
         if should_stop():
@@ -180,14 +181,14 @@ def main(argv=None):
             if not line:
                 break
             text = build_prompt(finetune, line, None) if args.instruct else line
-            ids = bpe.tokenize(vocab, text)
+            ids = tk.tokenize(text)
             all_text = b""
             logits = engine.eval(ids)
             last_tokens.extend(ids)
             for _ in range(args.n_predict):
                 tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
                 last_tokens.append(tok)
-                if tok == bpe.EOS_ID:
+                if tok == tk.eos_id:
                     break
                 stream(tok)
                 if should_stop() or engine.n_past >= cfg.n_ctx:

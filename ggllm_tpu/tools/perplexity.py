@@ -10,7 +10,7 @@ from ggllm_tpu.core.config import EngineConfig
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.engine.perplexity import perplexity
 from ggllm_tpu.io.loader import load_model
-from ggllm_tpu.tokenizer import bpe
+from ggllm_tpu import tokenizer as tok_mod
 
 
 def main(argv=None):
@@ -38,7 +38,7 @@ def main(argv=None):
 
     with open(args.file, "rb") as f:
         text = f.read().decode("utf-8", errors="replace")
-    tokens = bpe.tokenize(mf.vocab, text, bos=True)
+    tokens = tok_mod.for_model(mf).tokenize(text, bos=True)
     print(f"tokenized {len(tokens)} tokens; "
           f"{len(tokens) // cfg.n_ctx} chunks of {cfg.n_ctx}", file=sys.stderr)
 
