@@ -120,9 +120,16 @@ class FalconEngine:
 
     # ---------------------------------------------------------------- kv
 
+    @property
+    def kv_T(self) -> int:
+        """KV time dim: n_ctx plus a scratch region. Padded prefill positions
+        and parked batch rows write beyond n_ctx instead of corrupting live
+        entries (attention masks them; they are overwritten on reuse)."""
+        return self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK)
+
     def new_kv(self):
-        hp, cfg = self.hp, self.cfg
-        shape = (hp.n_layer, 2, self.batch, cfg.n_ctx, hp.n_head_kv, hp.head_dim)
+        hp = self.hp
+        shape = (hp.n_layer, 2, self.batch, self.kv_T, hp.n_head_kv, hp.head_dim)
         kv = jnp.zeros(shape, dtype=self.kv_dtype)
         if self._kv_sharding is not None:
             kv = jax.device_put(kv, self._kv_sharding)
@@ -259,6 +266,103 @@ class FalconEngine:
         """Roll the logical KV position back (stale cache beyond is masked)."""
         assert 0 <= n_past <= self.n_past
         self.n_past = n_past
+
+    # --------------------------------------------- batched (per-row) decoding
+    # These entry points take an explicit per-row n_past vector and leave the
+    # scalar self.n_past untouched; the ContinuousBatcher owns row state.
+
+    def _forward_rows_fn(self, seq_len: int):
+        key = ("rows", seq_len)
+        if key not in self._fwd:
+            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            forward = self._forward
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def fwd(params, tokens, kv, n_past_vec, last_pos_vec):
+                return forward(
+                    params, tokens, kv, n_past_vec, inv_freq, st,
+                    logits_all=False, compute_dtype=dtype, last_pos=last_pos_vec,
+                )
+
+            self._fwd[key] = fwd
+        return self._fwd[key]
+
+    def prefill_row(self, row: int, tokens, n_past_vec: np.ndarray) -> np.ndarray:
+        """Evaluate `tokens` on one batch row; other rows' n_past entries must
+        be their parking positions (>= n_ctx) or live positions. Returns the
+        row's final-position logits (n_vocab,)."""
+        tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        logits = None
+        done = 0
+        npv = np.asarray(n_past_vec, dtype=np.int32).copy()
+        while done < tokens.size:
+            chunk = tokens[done : done + self.cfg.n_batch]
+            pad = _bucket(chunk.size, self.cfg.n_batch)
+            buf = np.zeros((self.batch, pad), dtype=np.int32)
+            buf[row, : chunk.size] = chunk
+            last = np.zeros(self.batch, dtype=np.int32)
+            last[row] = chunk.size - 1
+            fwd = self._forward_rows_fn(pad)
+            t0 = time.perf_counter()
+            out, kv = fwd(self.params, jnp.asarray(buf), self.kv,
+                          jnp.asarray(npv), jnp.asarray(last))
+            self.kv = kv
+            logits = np.asarray(jax.device_get(out), dtype=np.float32)[row, 0]
+            self.timings.t_prefill_us += (time.perf_counter() - t0) * 1e6
+            self.timings.n_prefill += chunk.size
+            npv[row] += chunk.size
+            done += chunk.size
+        return logits
+
+    def _decode_rows_fn(self, n_steps: int, top_k: int):
+        key = ("rowloop", n_steps, top_k)
+        if key not in self._fwd:
+            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            forward = self._forward
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def loop(params, toks, kv, n_past_vec, temp, top_p, rng):
+                B = toks.shape[0]
+
+                def body(carry, _):
+                    toks, kv, npv, rng = carry
+                    logits, kv = forward(
+                        params, toks[:, None], kv, npv, inv_freq, st,
+                        logits_all=False, compute_dtype=dtype,
+                        last_pos=jnp.zeros(B, jnp.int32),
+                    )
+                    rng, sub = jax.random.split(rng)
+                    keys = jax.random.split(sub, B)
+                    nxt = sampling_device.sample_logits_rows(
+                        logits[:, 0], keys, temp, top_p, top_k)
+                    return (nxt, kv, npv + 1, rng), nxt
+
+                carry, toks_out = jax.lax.scan(
+                    body, (toks, kv, n_past_vec, rng), length=n_steps)
+                _, kv, _, rng = carry
+                return toks_out, kv, rng
+
+            self._fwd[key] = loop
+        return self._fwd[key]
+
+    def decode_rows(self, toks, n_past_vec, n_steps: int, temp, top_p,
+                    top_k: int = 64, rng_key=None):
+        """n_steps fused batched decode steps. toks: (B,) last sampled per
+        row. Returns ((n_steps, B) successor ids, rng)."""
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        loop = self._decode_rows_fn(n_steps, top_k)
+        t0 = time.perf_counter()
+        out, kv, rng_key = loop(
+            self.params, jnp.asarray(np.asarray(toks, np.int32)), self.kv,
+            jnp.asarray(np.asarray(n_past_vec, np.int32)),
+            jnp.asarray(np.asarray(temp, np.float32)),
+            jnp.asarray(np.asarray(top_p, np.float32)), rng_key)
+        out = np.asarray(jax.device_get(out))
+        self.kv = kv
+        self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_decode += n_steps * self.batch
+        return out, rng_key
 
     # ------------------------------------------------------------ generate
 

@@ -80,11 +80,17 @@ def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _positions(n_past, B: int, S: int) -> jnp.ndarray:
+    """Per-row query positions (B, S). n_past: scalar or (B,) int32."""
+    np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+    return np_vec[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+
+
 def _attention(
     q: jnp.ndarray,  # (B, S, H, D)
     k: jnp.ndarray,  # (B, T, KV, D) — full cache
     v: jnp.ndarray,  # (B, T, KV, D)
-    n_past: jnp.ndarray,  # scalar int32
+    n_past: jnp.ndarray,  # scalar or (B,) int32
     st: FalconStatic,
 ) -> jnp.ndarray:
     """Causal MQA/GQA attention over a prefix-valid KV cache. f32 softmax."""
@@ -102,14 +108,43 @@ def _attention(
     ) * (1.0 / jnp.sqrt(D).astype(jnp.float32))
 
     # causal + validity mask: key position t visible to query i iff t <= n_past + i
-    q_pos = n_past + jnp.arange(S, dtype=jnp.int32)  # (S,)
+    q_pos = _positions(n_past, B, S)  # (B, S)
     t_pos = jnp.arange(T, dtype=jnp.int32)  # (T,)
-    mask = t_pos[None, :] <= q_pos[:, None]  # (S, T)
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    mask = t_pos[None, None, :] <= q_pos[:, :, None]  # (B, S, T)
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, vf, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(B, S, H, D).astype(q.dtype)
+
+
+def _kv_write(kv_cache: jnp.ndarray, kv_new: jnp.ndarray, n_past) -> jnp.ndarray:
+    """Append kv_new (2,B,S,KV,D) into the per-layer cache (2,B,T,KV,D) at
+    each row's own offset (scalar n_past = same offset for all rows)."""
+    kv_new = kv_new.astype(kv_cache.dtype)
+    n_past = jnp.asarray(n_past, jnp.int32)
+    if n_past.ndim == 0:
+        return jax.lax.dynamic_update_slice(kv_cache, kv_new, (0, 0, n_past, 0, 0))
+
+    def upd(row, new, start):  # (2,T,KV,D), (2,S,KV,D), scalar
+        return jax.lax.dynamic_update_slice(row, new, (0, start, 0, 0))
+
+    return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(kv_cache, kv_new, n_past)
+
+
+def _kv_write_layer(kv: jnp.ndarray, kv_new: jnp.ndarray, l: int, n_past) -> jnp.ndarray:
+    """Append kv_new (2,B,S,KV,D) into layer l of the stacked cache
+    (L,2,B,T,KV,D) at per-row offsets, writing only the new positions."""
+    kv_new = kv_new.astype(kv.dtype)
+    n_past = jnp.asarray(n_past, jnp.int32)
+    if n_past.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            kv, kv_new[None], (l, 0, 0, n_past, 0, 0))
+
+    def upd(row, new, start):  # (L,2,T,KV,D), (2,S,KV,D), scalar
+        return jax.lax.dynamic_update_slice(row, new[None], (l, 0, start, 0, 0))
+
+    return jax.vmap(upd, in_axes=(2, 1, 0), out_axes=2)(kv, kv_new, n_past)
 
 
 def _project_merged(x_ln: jnp.ndarray, lw: dict, st: FalconStatic):
@@ -148,7 +183,7 @@ def _layer_pre(x, lw, n_past, inv_freq, st: FalconStatic):
         ff = linear(lw["ffn_up"], ln_mlp)
 
     # RoPE over the contiguous [Q; K] head block, V untouched
-    positions = n_past + jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    positions = _positions(n_past, B, S)  # (B, S)
     qk = apply_rope(qkv[:, :, : H + KV], positions, inv_freq)
     q = qk[:, :, :H]
     kv_new = jnp.concatenate(
@@ -180,9 +215,7 @@ def falcon_layer(
     st: FalconStatic,
 ):
     q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
-    kv_cache = jax.lax.dynamic_update_slice(
-        kv_cache, kv_new.astype(kv_cache.dtype), (0, 0, n_past, 0, 0)
-    )
+    kv_cache = _kv_write(kv_cache, kv_new, n_past)
     attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
     return _layer_post(x, lw, attn, gf, st), kv_cache
 
@@ -224,8 +257,7 @@ def falcon_forward(
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
             # single small in-place write into the donated stacked cache
-            kv = jax.lax.dynamic_update_slice(
-                kv, kv_new[None].astype(kv.dtype), (l, 0, 0, n_past, 0, 0))
+            kv = _kv_write_layer(kv, kv_new, l, n_past)
             attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
             x = _layer_post(x, lw, attn, gf, st)
     else:
@@ -239,7 +271,15 @@ def falcon_forward(
 
     x = layer_norm(x, params["output_norm"], params["output_norm_b"])
     if not logits_all:
-        B, S, E = x.shape
-        x = jax.lax.dynamic_slice(x, (0, jnp.asarray(last_pos, jnp.int32), 0), (B, 1, E))
+        x = select_last(x, last_pos)
     logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
     return logits, kv
+
+
+def select_last(x: jnp.ndarray, last_pos) -> jnp.ndarray:
+    """(B, S, E) -> (B, 1, E) at per-row (or shared scalar) position."""
+    B, S, E = x.shape
+    lp = jnp.asarray(last_pos, jnp.int32)
+    if lp.ndim == 0:
+        return jax.lax.dynamic_slice(x, (0, lp, 0), (B, 1, E))
+    return jnp.take_along_axis(x, lp[:, None, None], axis=1)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ggllm_tpu.core.config import LlamaHParams
-from ggllm_tpu.models.falcon import _attention
+from ggllm_tpu.models.falcon import _attention, _kv_write, _kv_write_layer, _positions, select_last
 from ggllm_tpu.ops.linear import linear
 
 RMS_EPS = 1e-6  # ggml_rms_norm epsilon
@@ -89,7 +89,7 @@ def _layer_pre(x, lw, n_past, inv_freq, st: LlamaStatic):
         v_ = linear(lw["wv"], h).reshape(B, S, H, D)
         qkv = jnp.concatenate([q_, k_, v_], axis=2)
 
-    positions = n_past + jnp.arange(S, dtype=jnp.int32)[None, :]
+    positions = _positions(n_past, B, S)
     qk = apply_rope_classic(qkv[:, :, : 2 * H], positions, inv_freq, st.n_rot)
     q = qk[:, :, :H]
     kv_new = jnp.concatenate(
@@ -111,8 +111,7 @@ def _ffn(x, lw, st: LlamaStatic):
 
 def llama_layer(x, lw, kv_cache, n_past, inv_freq, st: LlamaStatic):
     q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-    kv_cache = jax.lax.dynamic_update_slice(
-        kv_cache, kv_new.astype(kv_cache.dtype), (0, 0, n_past, 0, 0))
+    kv_cache = _kv_write(kv_cache, kv_new, n_past)
     attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
     B, S, _ = x.shape
     x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
@@ -140,8 +139,7 @@ def llama_forward(
             lw = layers[l] if isinstance(layers, (list, tuple)) else \
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-            kv = jax.lax.dynamic_update_slice(
-                kv, kv_new[None].astype(kv.dtype), (l, 0, 0, n_past, 0, 0))
+            kv = _kv_write_layer(kv, kv_new, l, n_past)
             attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
             B, S, _ = x.shape
             x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
@@ -157,7 +155,6 @@ def llama_forward(
 
     x = rms_norm(x, params["output_norm"])
     if not logits_all:
-        B, S, E = x.shape
-        x = jax.lax.dynamic_slice(x, (0, jnp.asarray(last_pos, jnp.int32), 0), (B, 1, E))
+        x = select_last(x, last_pos)
     logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
     return logits, kv

@@ -27,6 +27,27 @@ def device_samplable(sampler) -> bool:
     )
 
 
+def sample_logits_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
+                       top_p: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Batched per-row sampling with DYNAMIC per-row temp/top_p (traced
+    arrays) and a shared static top-k cap. temp[b] <= 0 -> greedy for row b.
+
+    logits (B, V), keys (B, 2) PRNG keys, temp/top_p (B,). Returns (B,) ids.
+    """
+    B, V = logits.shape
+    k = min(max(top_k, 1), V)
+    vals, idx = jax.lax.top_k(logits, k)  # (B, k), descending
+    scaled = vals / jnp.maximum(temp[:, None], 1e-6)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cum[:, :-1] < top_p[:, None]], axis=1)
+    masked = jnp.where(keep, scaled, -jnp.inf)
+    choice = jax.vmap(jax.random.categorical)(keys, masked)  # (B,)
+    choice = jnp.where(temp <= 0.0, 0, choice)  # greedy = argmax = rank 0
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
 def sample_logits(logits: jnp.ndarray, key, temp: float, top_k: int,
                   top_p: float) -> jnp.ndarray:
     """One token id from (n_vocab,) f32 logits. temp<=0 -> greedy."""

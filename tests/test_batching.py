@@ -1,0 +1,89 @@
+"""Continuous batching: batched decode must equal sequential single-stream
+generation exactly (greedy, f32), across admissions, mid-chunk finishes,
+and slot reuse."""
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.batching import ContinuousBatcher, Request
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+PROMPTS = [
+    [5, 17, 130, 42],
+    [300, 301, 302, 303, 304, 305, 306, 307, 308, 309],
+    [7, 8],
+    [100, 200, 300, 400, 150],
+    [42],
+]
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cb") / "tiny.ggcc")
+    hp = FalconHParams.tiny()
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=17)
+    return read_model(path)
+
+
+def _cfg():
+    return EngineConfig(n_ctx=96, n_batch=16, kv_dtype="float32",
+                        compute_dtype="float32")
+
+
+def _sequential_reference(model, prompts, n_predict):
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    outs = []
+    for p in prompts:
+        eng = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+        outs.append(eng.generate(p, n_predict=n_predict, sampler=greedy))
+    return outs
+
+
+def test_batched_matches_sequential(model):
+    n_predict = 20
+    ref = _sequential_reference(model, PROMPTS, n_predict)
+
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg, batch_size=3)
+    cb = ContinuousBatcher(eng, chunk=8)
+    reqs = [cb.submit(Request(p, n_predict=n_predict)) for p in PROMPTS]
+    cb.run()
+
+    for req, expected in zip(reqs, ref):
+        assert req.out == expected, f"request {req.rid} diverged"
+
+
+def test_batched_stop_ids_and_streaming(model):
+    n_predict = 24
+    ref = _sequential_reference(model, PROMPTS[:1], n_predict)[0]
+    stop = ref[6]
+
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg, batch_size=2)
+    cb = ContinuousBatcher(eng, chunk=8)
+    seen = []
+    r = cb.submit(Request(PROMPTS[0], n_predict=n_predict,
+                          stop_ids=frozenset({stop}), stream=seen.append))
+    cb.run()
+    assert r.done
+    assert r.out == ref[: ref.index(stop) + 1]
+    assert seen == r.out
+
+
+def test_slot_reuse_more_requests_than_rows(model):
+    n_predict = 12
+    prompts = PROMPTS * 2  # 10 requests through 2 rows
+    ref = _sequential_reference(model, prompts, n_predict)
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg, batch_size=2)
+    cb = ContinuousBatcher(eng, chunk=8)
+    reqs = [cb.submit(Request(p, n_predict=n_predict)) for p in prompts]
+    cb.run()
+    for req, expected in zip(reqs, ref):
+        assert req.out == expected
