@@ -59,22 +59,37 @@ _VEC_DOT_TYPE = {
 }
 
 
-def quantize(gtype: GGMLType, x: np.ndarray) -> np.ndarray:
-    """float32 array -> packed uint8 blob in the on-disk block layout."""
+def quantize(gtype: GGMLType, x: np.ndarray, native: bool = True) -> np.ndarray:
+    """float32 array -> packed uint8 blob in the on-disk block layout.
+
+    Tries the multithreaded C++ codec first (ggllm_tpu.native; bit-identical
+    to the Python implementation, tested) and falls back to numpy."""
     if gtype == GGMLType.F32:
         return np.ascontiguousarray(x, dtype=np.float32).reshape(-1).view(np.uint8)
     if gtype == GGMLType.F16:
         return np.ascontiguousarray(x, dtype=np.float32).astype(np.float16).reshape(-1).view(np.uint8)
+    if native:
+        from ggllm_tpu import native as native_mod
+
+        out = native_mod.quantize(int(gtype), np.asarray(x))
+        if out is not None:
+            return out
     return _QUANTIZE[gtype](np.asarray(x))
 
 
-def dequantize(gtype: GGMLType, blob: np.ndarray, n: int) -> np.ndarray:
+def dequantize(gtype: GGMLType, blob: np.ndarray, n: int, native: bool = True) -> np.ndarray:
     """packed uint8 blob -> float32 array of n elements."""
     blob = np.asarray(blob, dtype=np.uint8)
     if gtype == GGMLType.F32:
         return blob.copy().view(np.float32)[:n]
     if gtype == GGMLType.F16:
         return blob.copy().view(np.float16).astype(np.float32)[:n]
+    if native and n % TYPE_TRAITS[gtype].block_size == 0:
+        from ggllm_tpu import native as native_mod
+
+        out = native_mod.dequantize(int(gtype), blob, n)
+        if out is not None:
+            return out
     return _DEQUANTIZE[gtype](blob, n)
 
 

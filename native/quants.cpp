@@ -1,0 +1,435 @@
+// Native quantization codec hot path for ggllm_tpu.
+//
+// Scalar, bit-faithful implementations of the ggml block formats, mirroring
+// the Python reference codecs in ggllm_tpu/quant/{legacy,kquants}.py (which
+// are themselves validated bit-exactly against the upstream C layouts).
+// Used through ctypes from ggllm_tpu/native/__init__.py to accelerate model
+// loading, LoRA base dequantization, and the quantizer tool; the Python
+// codecs remain the semantic reference and fallback.
+//
+// Compile with -O3 -ffp-contract=off (strict f32, no FMA) — see Makefile.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------- fp16
+
+inline float fp16_to_f32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FF;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {  // subnormal
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400)) { man <<= 1; exp--; }
+            man &= 0x3FF;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 0x1F) {
+        bits = sign | 0x7F800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+inline uint16_t f32_to_fp16(float f) {
+    uint32_t bits;
+    std::memcpy(&bits, &f, 4);
+    uint32_t sign = (bits >> 16) & 0x8000;
+    int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
+    uint32_t man = bits & 0x7FFFFF;
+    if (((bits >> 23) & 0xFF) == 0xFF) {  // inf/nan
+        return (uint16_t)(sign | 0x7C00 | (man ? 0x200 : 0));
+    }
+    if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00);  // overflow -> inf
+    if (exp <= 0) {
+        if (exp < -10) return (uint16_t)sign;  // underflow -> 0
+        // subnormal with round-to-nearest-even
+        man |= 0x800000;
+        uint32_t shift = 14 - exp;
+        uint32_t half = man >> shift;
+        uint32_t rem = man & ((1u << shift) - 1);
+        uint32_t halfway = 1u << (shift - 1);
+        if (rem > halfway || (rem == halfway && (half & 1))) half++;
+        return (uint16_t)(sign | half);
+    }
+    // normal, round-to-nearest-even on the 13 dropped bits
+    uint32_t half = (uint32_t)(exp << 10) | (man >> 13);
+    uint32_t rem = man & 0x1FFF;
+    if (rem > 0x1000 || (rem == 0x1000 && (half & 1))) half++;
+    return (uint16_t)(sign | half);
+}
+
+inline uint16_t rd16(const uint8_t* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+inline float rdf32(const uint8_t* p) { float v; std::memcpy(&v, p, 4); return v; }
+
+// ------------------------------------------------------------ legacy dequant
+
+void deq_q4_0(const uint8_t* b, float* y) {  // 18 bytes -> 32 floats
+    float d = fp16_to_f32(rd16(b));
+    for (int j = 0; j < 16; j++) {
+        y[j] = (float)((int)(b[2 + j] & 0xF) - 8) * d;
+        y[j + 16] = (float)((int)(b[2 + j] >> 4) - 8) * d;
+    }
+}
+
+void deq_q4_1(const uint8_t* b, float* y) {  // 20 bytes
+    float d = fp16_to_f32(rd16(b)), m = fp16_to_f32(rd16(b + 2));
+    for (int j = 0; j < 16; j++) {
+        y[j] = (float)(b[4 + j] & 0xF) * d + m;
+        y[j + 16] = (float)(b[4 + j] >> 4) * d + m;
+    }
+}
+
+void deq_q5_0(const uint8_t* b, float* y) {  // 22 bytes
+    float d = fp16_to_f32(rd16(b));
+    uint32_t qh; std::memcpy(&qh, b + 2, 4);
+    for (int j = 0; j < 16; j++) {
+        int lo = (b[6 + j] & 0xF) | (((qh >> j) & 1) << 4);
+        int hi = (b[6 + j] >> 4) | (((qh >> (j + 16)) & 1) << 4);
+        y[j] = (float)(lo - 16) * d;
+        y[j + 16] = (float)(hi - 16) * d;
+    }
+}
+
+void deq_q5_1(const uint8_t* b, float* y) {  // 24 bytes
+    float d = fp16_to_f32(rd16(b)), m = fp16_to_f32(rd16(b + 2));
+    uint32_t qh; std::memcpy(&qh, b + 4, 4);
+    for (int j = 0; j < 16; j++) {
+        int lo = (b[8 + j] & 0xF) | (((qh >> j) & 1) << 4);
+        int hi = (b[8 + j] >> 4) | (((qh >> (j + 16)) & 1) << 4);
+        y[j] = (float)lo * d + m;
+        y[j + 16] = (float)hi * d + m;
+    }
+}
+
+void deq_q8_0(const uint8_t* b, float* y) {  // 34 bytes
+    float d = fp16_to_f32(rd16(b));
+    const int8_t* qs = (const int8_t*)(b + 2);
+    for (int j = 0; j < 32; j++) y[j] = (float)qs[j] * d;
+}
+
+void deq_q8_1(const uint8_t* b, float* y) {  // 40 bytes
+    float d = rdf32(b);
+    const int8_t* qs = (const int8_t*)(b + 8);
+    for (int j = 0; j < 32; j++) y[j] = (float)qs[j] * d;
+}
+
+// ------------------------------------------------------------ k-quant dequant
+
+void deq_q2_K(const uint8_t* b, float* y) {  // 84 bytes -> 256
+    const uint8_t* sc = b;
+    const uint8_t* qs = b + 16;
+    float d = fp16_to_f32(rd16(b + 80));
+    float dmin = fp16_to_f32(rd16(b + 82));
+    for (int half = 0; half < 2; half++) {
+        const uint8_t* q = qs + half * 32;
+        for (int j = 0; j < 4; j++) {
+            int base = half * 128 + j * 32;
+            int g = half * 8 + 2 * j;
+            float dl1 = d * (float)(sc[g] & 0xF), ml1 = dmin * (float)(sc[g] >> 4);
+            float dl2 = d * (float)(sc[g + 1] & 0xF), ml2 = dmin * (float)(sc[g + 1] >> 4);
+            for (int i = 0; i < 16; i++) {
+                y[base + i] = dl1 * (float)((q[i] >> (2 * j)) & 3) - ml1;
+                y[base + 16 + i] = dl2 * (float)((q[16 + i] >> (2 * j)) & 3) - ml2;
+            }
+        }
+    }
+}
+
+void q3k_scales(const uint8_t* sc, int32_t* out) {  // 12 packed -> 16 int
+    for (int j = 0; j < 16; j++) {
+        int s4 = (j < 8) ? (sc[j] & 0xF) : (sc[j - 8] >> 4);
+        int s2 = (sc[8 + (j % 4)] >> (2 * (j / 4))) & 3;
+        out[j] = (int32_t)(int8_t)(s4 | (s2 << 4)) - 32;
+    }
+}
+
+void deq_q3_K(const uint8_t* b, float* y) {  // 110 bytes
+    const uint8_t* hmask = b;
+    const uint8_t* qs = b + 32;
+    int32_t sc[16];
+    q3k_scales(b + 96, sc);
+    float d = fp16_to_f32(rd16(b + 108));
+    for (int half = 0; half < 2; half++) {
+        const uint8_t* q = qs + half * 32;
+        for (int j = 0; j < 4; j++) {
+            int mbit = half * 4 + j;
+            int base = half * 128 + j * 32;
+            int g = half * 8 + 2 * j;
+            float dl1 = d * (float)sc[g], dl2 = d * (float)sc[g + 1];
+            for (int i = 0; i < 16; i++) {
+                int v1 = ((q[i] >> (2 * j)) & 3) - (((hmask[i] >> mbit) & 1) ? 0 : 4);
+                int v2 = ((q[16 + i] >> (2 * j)) & 3) - (((hmask[16 + i] >> mbit) & 1) ? 0 : 4);
+                y[base + i] = dl1 * (float)v1;
+                y[base + 16 + i] = dl2 * (float)v2;
+            }
+        }
+    }
+}
+
+void k4_scales(const uint8_t* sc, uint8_t* dout, uint8_t* mout) {  // 12 -> 8+8
+    for (int j = 0; j < 8; j++) {
+        if (j < 4) {
+            dout[j] = sc[j] & 63;
+            mout[j] = sc[j + 4] & 63;
+        } else {
+            dout[j] = (sc[j + 4] & 0xF) | ((sc[j - 4] >> 6) << 4);
+            mout[j] = (sc[j + 4] >> 4) | ((sc[j] >> 6) << 4);
+        }
+    }
+}
+
+void deq_q4_K(const uint8_t* b, float* y) {  // 144 bytes
+    float d = fp16_to_f32(rd16(b)), dmin = fp16_to_f32(rd16(b + 2));
+    uint8_t sd[8], sm[8];
+    k4_scales(b + 4, sd, sm);
+    const uint8_t* qs = b + 16;
+    for (int c = 0; c < 4; c++) {
+        float dl = d * (float)sd[2 * c], ml = dmin * (float)sm[2 * c];
+        float dh = d * (float)sd[2 * c + 1], mh = dmin * (float)sm[2 * c + 1];
+        for (int i = 0; i < 32; i++) {
+            y[c * 64 + i] = dl * (float)(qs[c * 32 + i] & 0xF) - ml;
+            y[c * 64 + 32 + i] = dh * (float)(qs[c * 32 + i] >> 4) - mh;
+        }
+    }
+}
+
+void deq_q5_K(const uint8_t* b, float* y) {  // 176 bytes
+    float d = fp16_to_f32(rd16(b)), dmin = fp16_to_f32(rd16(b + 2));
+    uint8_t sd[8], sm[8];
+    k4_scales(b + 4, sd, sm);
+    const uint8_t* qh = b + 16;
+    const uint8_t* qs = b + 48;
+    for (int c = 0; c < 4; c++) {
+        float dl = d * (float)sd[2 * c], ml = dmin * (float)sm[2 * c];
+        float dh = d * (float)sd[2 * c + 1], mh = dmin * (float)sm[2 * c + 1];
+        for (int i = 0; i < 32; i++) {
+            int lo = (qs[c * 32 + i] & 0xF) | (((qh[i] >> (2 * c)) & 1) << 4);
+            int hi = (qs[c * 32 + i] >> 4) | (((qh[i] >> (2 * c + 1)) & 1) << 4);
+            y[c * 64 + i] = dl * (float)lo - ml;
+            y[c * 64 + 32 + i] = dh * (float)hi - mh;
+        }
+    }
+}
+
+void deq_q6_K(const uint8_t* b, float* y) {  // 210 bytes
+    const uint8_t* ql = b;
+    const uint8_t* qh = b + 128;
+    const int8_t* sc = (const int8_t*)(b + 192);
+    float d = fp16_to_f32(rd16(b + 208));
+    for (int half = 0; half < 2; half++) {
+        const uint8_t* l = ql + half * 64;
+        const uint8_t* h = qh + half * 32;
+        int base = half * 128;
+        for (int i = 0; i < 32; i++) {
+            int q1 = (l[i] & 0xF) | (((h[i] >> 0) & 3) << 4);
+            int q2 = (l[32 + i] & 0xF) | (((h[i] >> 2) & 3) << 4);
+            int q3 = (l[i] >> 4) | (((h[i] >> 4) & 3) << 4);
+            int q4 = (l[32 + i] >> 4) | (((h[i] >> 6) & 3) << 4);
+            y[base + i] = d * (float)sc[(base + i) / 16] * (float)(q1 - 32);
+            y[base + 32 + i] = d * (float)sc[(base + 32 + i) / 16] * (float)(q2 - 32);
+            y[base + 64 + i] = d * (float)sc[(base + 64 + i) / 16] * (float)(q3 - 32);
+            y[base + 96 + i] = d * (float)sc[(base + 96 + i) / 16] * (float)(q4 - 32);
+        }
+    }
+}
+
+void deq_q8_K(const uint8_t* b, float* y) {  // 292 bytes
+    float d = rdf32(b);
+    const int8_t* qs = (const int8_t*)(b + 4);
+    for (int j = 0; j < 256; j++) y[j] = d * (float)qs[j];
+}
+
+// ------------------------------------------------------------ legacy quantize
+
+inline int32_t c_roundf(float x) {  // C roundf: half away from zero
+    return (int32_t)truncf(x + copysignf(0.5f, x));
+}
+
+void qz_q4_0(const float* x, uint8_t* b) {
+    float maxv = 0.f, amax = 0.f;
+    for (int j = 0; j < 32; j++) {
+        float a = fabsf(x[j]);
+        if (a > amax) { amax = a; maxv = x[j]; }
+    }
+    float d = maxv / -8.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    uint16_t h = f32_to_fp16(d);
+    std::memcpy(b, &h, 2);
+    uint8_t xi[32];
+    for (int j = 0; j < 32; j++)
+        xi[j] = (uint8_t)std::min(15, (int)(x[j] * id + 8.5f));
+    for (int j = 0; j < 16; j++) b[2 + j] = xi[j] | (xi[j + 16] << 4);
+}
+
+void qz_q4_1(const float* x, uint8_t* b) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < 32; j++) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 15.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    uint16_t hd = f32_to_fp16(d), hm = f32_to_fp16(mn);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    uint8_t xi[32];
+    for (int j = 0; j < 32; j++)
+        xi[j] = (uint8_t)std::min(15, (int)((x[j] - mn) * id + 0.5f));
+    for (int j = 0; j < 16; j++) b[4 + j] = xi[j] | (xi[j + 16] << 4);
+}
+
+void qz_q5_0(const float* x, uint8_t* b) {
+    float maxv = 0.f, amax = 0.f;
+    for (int j = 0; j < 32; j++) {
+        float a = fabsf(x[j]);
+        if (a > amax) { amax = a; maxv = x[j]; }
+    }
+    float d = maxv / -16.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    uint16_t h = f32_to_fp16(d);
+    std::memcpy(b, &h, 2);
+    uint8_t xi[32];
+    uint32_t qh = 0;
+    for (int j = 0; j < 32; j++) {
+        xi[j] = (uint8_t)std::min(31, (int)(x[j] * id + 16.5f));
+        qh |= (uint32_t)((xi[j] >> 4) & 1) << j;
+    }
+    std::memcpy(b + 2, &qh, 4);
+    for (int j = 0; j < 16; j++)
+        b[6 + j] = (xi[j] & 0xF) | ((xi[j + 16] & 0xF) << 4);
+}
+
+void qz_q5_1(const float* x, uint8_t* b) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < 32; j++) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 31.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    uint16_t hd = f32_to_fp16(d), hm = f32_to_fp16(mn);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    uint8_t xi[32];
+    uint32_t qh = 0;
+    for (int j = 0; j < 32; j++) {
+        xi[j] = (uint8_t)(int)((x[j] - mn) * id + 0.5f);
+        qh |= (uint32_t)((xi[j] >> 4) & 1) << j;
+    }
+    std::memcpy(b + 4, &qh, 4);
+    for (int j = 0; j < 16; j++)
+        b[8 + j] = (xi[j] & 0xF) | ((xi[j + 16] & 0xF) << 4);
+}
+
+void qz_q8_0(const float* x, uint8_t* b) {
+    float amax = 0.f;
+    for (int j = 0; j < 32; j++) amax = std::max(amax, fabsf(x[j]));
+    float d = amax / 127.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    uint16_t h = f32_to_fp16(d);
+    std::memcpy(b, &h, 2);
+    int8_t* qs = (int8_t*)(b + 2);
+    for (int j = 0; j < 32; j++) qs[j] = (int8_t)c_roundf(x[j] * id);
+}
+
+void qz_q8_1(const float* x, uint8_t* b) {
+    float amax = 0.f;
+    for (int j = 0; j < 32; j++) amax = std::max(amax, fabsf(x[j]));
+    float d = amax / 127.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    std::memcpy(b, &d, 4);
+    int8_t* qs = (int8_t*)(b + 8);
+    int32_t sum = 0;
+    for (int j = 0; j < 32; j++) {
+        qs[j] = (int8_t)c_roundf(x[j] * id);
+        sum += qs[j];
+    }
+    float s = (float)sum * d;
+    std::memcpy(b + 4, &s, 4);
+}
+
+// ------------------------------------------------------------------ tables
+
+struct Fmt {
+    int block;      // elements per block
+    int bytes;      // bytes per block
+    void (*deq)(const uint8_t*, float*);
+    void (*qz)(const float*, uint8_t*);
+};
+
+// indexed by the ggml type id (ggml.h enum / core/dtypes.py)
+Fmt fmt_of(int gtype) {
+    switch (gtype) {
+        case 2:  return {32, 18, deq_q4_0, qz_q4_0};   // Q4_0
+        case 3:  return {32, 20, deq_q4_1, qz_q4_1};   // Q4_1
+        case 6:  return {32, 22, deq_q5_0, qz_q5_0};   // Q5_0
+        case 7:  return {32, 24, deq_q5_1, qz_q5_1};   // Q5_1
+        case 8:  return {32, 34, deq_q8_0, qz_q8_0};   // Q8_0
+        case 9:  return {32, 40, deq_q8_1, qz_q8_1};   // Q8_1
+        case 10: return {256, 84, deq_q2_K, nullptr};  // Q2_K
+        case 11: return {256, 110, deq_q3_K, nullptr}; // Q3_K
+        case 12: return {256, 144, deq_q4_K, nullptr}; // Q4_K
+        case 13: return {256, 176, deq_q5_K, nullptr}; // Q5_K
+        case 14: return {256, 210, deq_q6_K, nullptr}; // Q6_K
+        case 15: return {256, 292, deq_q8_K, nullptr}; // Q8_K
+        default: return {0, 0, nullptr, nullptr};
+    }
+}
+
+template <typename F>
+void parallel_blocks(int64_t nb, int nthreads, F f) {
+    nthreads = std::max(1, std::min<int>(nthreads, (int)std::thread::hardware_concurrency()));
+    if (nthreads <= 1 || nb < 1024) {
+        f(0, nb);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t per = (nb + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t lo = t * per, hi = std::min<int64_t>(nb, lo + per);
+        if (lo >= hi) break;
+        ts.emplace_back([=] { f(lo, hi); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// blob of nb blocks -> nb*block floats. Returns 0 on success.
+int gq_dequantize(int gtype, const uint8_t* blob, float* out, int64_t nb,
+                  int nthreads) {
+    Fmt fm = fmt_of(gtype);
+    if (!fm.deq) return 1;
+    parallel_blocks(nb, nthreads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            fm.deq(blob + i * fm.bytes, out + i * fm.block);
+    });
+    return 0;
+}
+
+// nb*block floats -> blob. Returns 0 on success, 1 if unsupported.
+int gq_quantize(int gtype, const float* in, uint8_t* out, int64_t nb,
+                int nthreads) {
+    Fmt fm = fmt_of(gtype);
+    if (!fm.qz) return 1;
+    parallel_blocks(nb, nthreads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            fm.qz(in + i * fm.block, out + i * fm.bytes);
+    });
+    return 0;
+}
+
+int gq_block_size(int gtype) { return fmt_of(gtype).block; }
+int gq_type_size(int gtype) { return fmt_of(gtype).bytes; }
+
+}  // extern "C"
