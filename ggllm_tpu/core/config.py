@@ -125,6 +125,8 @@ class EngineConfig:
     # and no mesh — the Pallas kernels don't GSPMD-partition; the mesh path
     # uses the XLA dequant fallback until the shard_map step lands)
     kernel_layout: bool | None = None
+    # Pallas flash attention for prefill: None = auto (TPU, no mesh)
+    flash_attention: bool | None = None
     # mesh axes: data (replica), model (tensor-parallel)
     mesh_shape: tuple = (1, 1)
     mesh_axes: tuple = ("data", "model")

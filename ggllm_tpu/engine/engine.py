@@ -97,7 +97,12 @@ class FalconEngine:
         self.hp = hparams
         self.cfg = cfg or EngineConfig()
         self.batch = batch_size
-        self.st, self._forward = resolve_model(hparams)
+        import jax as _jax
+
+        flash = (cfg or EngineConfig()).flash_attention
+        if flash is None:
+            flash = mesh is None and _jax.default_backend() == "tpu"
+        self.st, self._forward = resolve_model(hparams, flash=flash)
         self.kv_dtype = jnp.dtype(self.cfg.kv_dtype)
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)

@@ -5,13 +5,13 @@ here both families plug into the same engine/kernel/IO machinery)."""
 from __future__ import annotations
 
 
-def resolve(hparams):
+def resolve(hparams, flash: bool = False):
     """hparams -> (Static, forward_fn) for the engine."""
     arch = getattr(hparams, "arch", "falcon")
     if arch == "llama":
         from ggllm_tpu.models.llama import LlamaStatic, llama_forward
 
-        return LlamaStatic.from_hparams(hparams), llama_forward
+        return LlamaStatic.from_hparams(hparams, flash=flash), llama_forward
     from ggllm_tpu.models.falcon import FalconStatic, falcon_forward
 
-    return FalconStatic.from_hparams(hparams), falcon_forward
+    return FalconStatic.from_hparams(hparams, flash=flash), falcon_forward

@@ -57,9 +57,10 @@ class FalconStatic:
     n_ff: int
     n_vocab: int
     parallel_norms: bool  # True for 40B/180B (separate ln_attn/ln_mlp)
+    flash: bool = False  # Pallas flash attention (TPU single-chip path)
 
     @classmethod
-    def from_hparams(cls, hp: FalconHParams) -> "FalconStatic":
+    def from_hparams(cls, hp: FalconHParams, flash: bool = False) -> "FalconStatic":
         return cls(
             n_layer=hp.n_layer,
             n_head=hp.n_head,
@@ -69,6 +70,7 @@ class FalconStatic:
             n_ff=hp.n_ff,
             n_vocab=hp.n_vocab,
             parallel_norms=hp.n_falcon_type >= 40,
+            flash=flash,
         )
 
 
@@ -97,6 +99,13 @@ def _attention(
     B, S, H, D = q.shape
     T = k.shape[1]
     G = H // st.n_head_kv  # query heads per kv head
+
+    if getattr(st, "flash", False) and S > 1:
+        # prefill on TPU: flash kernel streams K/V tiles instead of
+        # materializing (B, KV, G, S, T) scores in HBM
+        from ggllm_tpu.kernels.flash_attention import flash_mqa
+
+        return flash_mqa(q, k, v, n_past)
 
     qg = q.reshape(B, S, st.n_head_kv, G, D).astype(jnp.float32)
     kf = k.astype(jnp.float32)

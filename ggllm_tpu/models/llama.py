@@ -42,13 +42,14 @@ class LlamaStatic:
     n_vocab: int
     n_rot: int
     parallel_norms: bool = False  # interface parity with FalconStatic
+    flash: bool = False
 
     @classmethod
-    def from_hparams(cls, hp: LlamaHParams) -> "LlamaStatic":
+    def from_hparams(cls, hp: LlamaHParams, flash: bool = False) -> "LlamaStatic":
         return cls(
             n_layer=hp.n_layer, n_head=hp.n_head, n_head_kv=hp.n_head,
             head_dim=hp.head_dim, n_embd=hp.n_embd, n_ff=hp.n_ff,
-            n_vocab=hp.n_vocab, n_rot=hp.n_rot,
+            n_vocab=hp.n_vocab, n_rot=hp.n_rot, flash=flash,
         )
 
 
