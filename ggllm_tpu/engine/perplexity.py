@@ -29,11 +29,13 @@ def _log_softmax_at(logits: np.ndarray, idx: int) -> float:
     return float(logits[idx]) - lse
 
 
-def perplexity(engine, tokens, progress=None) -> PerplexityResult:
+def perplexity(engine, tokens, progress=None, max_chunks: int = 0) -> PerplexityResult:
     """Compute wikitext-style perplexity. `engine` is a FalconEngine."""
     tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
     n_ctx = engine.cfg.n_ctx
     n_chunk = tokens.size // n_ctx
+    if max_chunks:
+        n_chunk = min(n_chunk, max_chunks)
     if n_chunk == 0:
         raise ValueError(f"need at least n_ctx={n_ctx} tokens, got {tokens.size}")
 

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    ap.add_argument("--max-chunks", type=int, default=0,
+                    help="limit evaluated chunks (0 = all)")
     args = ap.parse_args(argv)
 
     cfg = EngineConfig(
@@ -45,7 +47,7 @@ def main(argv=None):
     def progress(i, n, ppl):
         print(f"[{i}]{ppl:.4f},", end="", flush=True)
 
-    res = perplexity(engine, tokens, progress=progress)
+    res = perplexity(engine, tokens, progress=progress, max_chunks=args.max_chunks)
     print(f"\nperplexity: {res.ppl:.4f} [{res.n_chunks} chunks, {res.count} tokens]")
     print(engine.timings.report(), file=sys.stderr)
 
