@@ -267,6 +267,35 @@ class FalconEngine:
         self.n_past += n_steps
         return toks, rng_key
 
+    def embed(self, tokens) -> np.ndarray:
+        """Final-layer (normed) hidden state for the last token — the
+        reference embedding example's output (examples/embedding)."""
+        tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
+        if key not in self._fwd:
+            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            forward = self._forward
+            pad = key[1]
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def fwd(params, toks, kv, n_past, last_pos):
+                return forward(
+                    params, toks, kv, n_past, inv_freq, st,
+                    logits_all=False, compute_dtype=dtype, last_pos=last_pos,
+                    output_hidden=True,
+                )
+
+            self._fwd[key] = fwd
+        assert self.n_past + tokens.size <= self.cfg.n_ctx, "context overflow"
+        buf = np.zeros((self.batch, key[1]), dtype=np.int32)
+        buf[0, : tokens.size] = tokens
+        hidden, kv = self._fwd[key](
+            self.params, jnp.asarray(buf), self.kv,
+            jnp.int32(self.n_past), jnp.int32(tokens.size - 1))
+        self.kv = kv
+        self.n_past += tokens.size
+        return np.asarray(jax.device_get(hidden), dtype=np.float32)[0, 0]
+
     def rollback(self, n_past: int):
         """Roll the logical KV position back (stale cache beyond is masked)."""
         assert 0 <= n_past <= self.n_past

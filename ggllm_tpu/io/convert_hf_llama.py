@@ -1,0 +1,210 @@
+"""HF LLaMA checkpoint -> GGJT v3 converter (convert.py equivalent).
+
+Key transforms (mirroring the reference converter semantics):
+
+* wq/wk rope permutation: HF LLaMA applies rotary embedding over
+  half-split dims; ggml uses interleaved adjacent pairs, so the q/k
+  projection rows are permuted ``(H, 2, D/2, E) -> (H, D/2, 2, E)``;
+* tensor name mapping model.layers.N.self_attn.q_proj -> layers.N.attention.wq
+  etc.;
+* vocab from tokenizer.model (SentencePiece ModelProto, parsed with a
+  minimal built-in protobuf reader — pieces field 1 {piece=1, score=2}),
+  falling back to tokenizer.json with rank-derived scores.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from ggllm_tpu.core.config import LlamaHParams
+from ggllm_tpu.core.dtypes import FType, GGMLType
+from ggllm_tpu.io.convert_hf import _iter_checkpoint_tensors
+from ggllm_tpu.io.ggcc import GGJTWriter
+from ggllm_tpu.tokenizer.bpe import Vocab
+
+_NAME_MAP = {
+    "embed_tokens.weight": "tok_embeddings.weight",
+    "norm.weight": "norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_LAYER_MAP = {
+    "input_layernorm.weight": "attention_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "self_attn.q_proj.weight": "attention.wq.weight",
+    "self_attn.k_proj.weight": "attention.wk.weight",
+    "self_attn.v_proj.weight": "attention.wv.weight",
+    "self_attn.o_proj.weight": "attention.wo.weight",
+    "mlp.gate_proj.weight": "feed_forward.w1.weight",
+    "mlp.down_proj.weight": "feed_forward.w2.weight",
+    "mlp.up_proj.weight": "feed_forward.w3.weight",
+}
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float]]:
+    """Minimal ModelProto reader: repeated field 1 = SentencePiece
+    { piece: string = 1, score: float = 2 }."""
+    data = Path(path).read_bytes()
+    pieces: list[bytes] = []
+    scores: list[float] = []
+    i = 0
+    while i < len(data):
+        tag, i = _read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # a SentencePiece submessage
+            ln, i = _read_varint(data, i)
+            sub = data[i : i + ln]
+            i += ln
+            piece, score = b"", 0.0
+            j = 0
+            while j < len(sub):
+                t2, j = _read_varint(sub, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:
+                    l2, j = _read_varint(sub, j)
+                    piece = sub[j : j + l2]
+                    j += l2
+                elif f2 == 2 and w2 == 5:
+                    score = struct.unpack("<f", sub[j : j + 4])[0]
+                    j += 4
+                elif w2 == 0:
+                    _, j = _read_varint(sub, j)
+                elif w2 == 2:
+                    l2, j = _read_varint(sub, j)
+                    j += l2
+                elif w2 == 5:
+                    j += 4
+                else:
+                    j += 8
+            pieces.append(piece)
+            scores.append(score)
+        elif wire == 0:
+            _, i = _read_varint(data, i)
+        elif wire == 2:
+            ln, i = _read_varint(data, i)
+            i += ln
+        elif wire == 5:
+            i += 4
+        else:
+            i += 8
+    return pieces, scores
+
+
+def _piece_to_bytes(piece: bytes, tid: int) -> bytes:
+    """SentencePiece piece -> raw bytes: U+2581 -> space, <0xNN> -> byte."""
+    if piece.startswith(b"<0x") and piece.endswith(b">") and len(piece) == 6:
+        try:
+            return bytes([int(piece[3:5], 16)])
+        except ValueError:
+            pass
+    return piece.replace("▁".encode(), b" ")
+
+
+def build_vocab(dir_model: Path, n_vocab: int) -> Vocab:
+    sp = dir_model / "tokenizer.model"
+    if sp.exists():
+        pieces, scores = parse_sentencepiece_model(sp)
+        toks = [_piece_to_bytes(p, i) for i, p in enumerate(pieces)]
+    else:  # fast-tokenizer fallback: rank-derived scores
+        with open(dir_model / "tokenizer.json", encoding="utf-8") as f:
+            tj = json.load(f)
+        vocab_map = tj["model"]["vocab"]
+        toks = [b""] * len(vocab_map)
+        scores = [0.0] * len(vocab_map)
+        for tok, tid in vocab_map.items():
+            toks[tid] = _piece_to_bytes(tok.encode(), tid)
+            scores[tid] = -float(tid)
+    while len(toks) < n_vocab:
+        toks.append(f"<extra_{len(toks)}>".encode())
+        scores.append(-1e6)
+    return Vocab(id_to_token=toks[:n_vocab], scores=scores[:n_vocab], merges=[])
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split rotary rows -> ggml interleaved-pair rows."""
+    O, E = w.shape
+    return (w.reshape(n_head, 2, O // n_head // 2, E)
+            .swapaxes(1, 2).reshape(O, E))
+
+
+def convert(dir_model: str, out_path: str, ftype: str = "f16", log=print) -> LlamaHParams:
+    dir_model = Path(dir_model)
+    with open(dir_model / "config.json") as f:
+        config = json.load(f)
+    n_embd = config["hidden_size"]
+    n_head = config["num_attention_heads"]
+    n_layer = config["num_hidden_layers"]
+    n_vocab = config["vocab_size"]
+    n_ff = config["intermediate_size"]
+    # recover n_mult such that the loader's n_ff formula reproduces n_ff
+    n_mult = 256
+    for cand in (32, 64, 128, 256, 512, 1024):
+        base = 2 * (4 * n_embd) // 3
+        if ((base + cand - 1) // cand) * cand == n_ff:
+            n_mult = cand
+            break
+    hp = LlamaHParams(
+        n_vocab=n_vocab, n_embd=n_embd, n_mult=n_mult, n_head=n_head,
+        n_layer=n_layer, n_rot=n_embd // n_head,
+        ftype=int(FType.MOSTLY_F16 if ftype == "f16" else FType.ALL_F32),
+    )
+    if hp.n_ff != n_ff:
+        raise ValueError(f"cannot express intermediate_size {n_ff} via n_mult")
+
+    vocab = build_vocab(dir_model, n_vocab)
+    writer = GGJTWriter(out_path, hp, vocab)
+    for name, data in _iter_checkpoint_tensors(dir_model):
+        data = np.asarray(data, dtype=np.float32)
+        key = name
+        if key.startswith("model."):
+            key = key[len("model."):]
+        if key.startswith("layers."):
+            pre, rest = key.split(".", 2)[1], key.split(".", 2)[2]
+            mapped = _LAYER_MAP.get(rest)
+            if mapped is None:
+                log(f"  | skipping {name}")
+                continue
+            out_name = f"layers.{pre}.{mapped}"
+            if rest.startswith("self_attn.q_proj") or rest.startswith("self_attn.k_proj"):
+                data = permute_rope(data, n_head)
+        else:
+            mapped = _NAME_MAP.get(key)
+            if mapped is None:
+                log(f"  | skipping {name}")
+                continue
+            out_name = mapped
+        gtype = GGMLType.F16 if (ftype == "f16" and data.ndim == 2) else GGMLType.F32
+        writer.write_array(out_name, data, gtype)
+        log(f"  | {out_name} {tuple(data.shape)} -> {gtype.name}")
+    writer.close()
+    return hp
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="HF LLaMA -> GGJT v3")
+    ap.add_argument("dir_model")
+    ap.add_argument("out_path")
+    ap.add_argument("--ftype", choices=["f16", "f32"], default="f16")
+    args = ap.parse_args(argv)
+    convert(args.dir_model, args.out_path, args.ftype)
+
+
+if __name__ == "__main__":
+    main()

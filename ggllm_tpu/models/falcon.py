@@ -240,6 +240,7 @@ def falcon_forward(
     compute_dtype=jnp.bfloat16,
     last_pos: jnp.ndarray | int = 0,
     unroll: bool = False,
+    output_hidden: bool = False,
 ):
     """Run the full model. Returns (logits f32, new kv).
 
@@ -281,6 +282,9 @@ def falcon_forward(
     x = layer_norm(x, params["output_norm"], params["output_norm_b"])
     if not logits_all:
         x = select_last(x, last_pos)
+    if output_hidden:
+        # embedding path (reference examples/embedding: final normed hidden)
+        return x.astype(jnp.float32), kv
     logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
     return logits, kv
 

@@ -130,6 +130,7 @@ def llama_forward(
     compute_dtype=jnp.bfloat16,
     last_pos: jnp.ndarray | int = 0,
     unroll: bool = False,
+    output_hidden: bool = False,
 ):
     """Same contract as falcon_forward (engine-interchangeable)."""
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
@@ -157,5 +158,8 @@ def llama_forward(
     x = rms_norm(x, params["output_norm"])
     if not logits_all:
         x = select_last(x, last_pos)
+    if output_hidden:
+        # embedding path (reference examples/embedding: final normed hidden)
+        return x.astype(jnp.float32), kv
     logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
     return logits, kv

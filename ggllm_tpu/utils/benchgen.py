@@ -31,6 +31,10 @@ def _tiled_random(shape, scale=0.02, dtype=np.float32) -> np.ndarray:
 def random_quant_tensor(gtype: GGMLType, out: int, cols: int, scale=0.02) -> QuantTensor:
     """QuantTensor with random codes and constant scales (no quantize pass)."""
     bs = TYPE_TRAITS[gtype].block_size
+    assert cols % bs == 0, (
+        f"{TYPE_TRAITS[gtype].name}: width {cols} not divisible by block {bs} "
+        "(the reference has the same constraint: K-quants need QK_K-divisible "
+        "dims, libfalcon.cpp:3626-3635 — Falcon-7B uses legacy formats)")
     nb = cols // bs
     planes: dict[str, np.ndarray] = {}
     for key in _PLANE_ORDER[gtype]:

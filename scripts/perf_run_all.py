@@ -34,7 +34,7 @@ def bench_type(gtype: GGMLType, hp, cfg, n_decode: int, n_prefill: int):
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, hp.n_vocab, n_prefill).tolist()
 
-    eng.eval(prompt[:32])  # compile small prefill
+    eng.eval(prompt)  # compile all prefill buckets used
     eng.reset()
     t0 = time.perf_counter()
     eng.eval(prompt)

@@ -1,0 +1,72 @@
+"""Session (prompt-cache) save/restore and embedding extraction
+(reference: llama_{load,save}_session_file, examples/embedding,
+examples/save-load-state)."""
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine import session as session_mod
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sess") / "tiny.ggcc")
+    write_tiny_model(path, FalconHParams.tiny(), ftype_2d=GGMLType.Q8_0, seed=6)
+    return read_model(path)
+
+
+def _cfg():
+    return EngineConfig(n_ctx=64, n_batch=16, kv_dtype="float32",
+                        compute_dtype="float32")
+
+
+def test_session_roundtrip_matches_fresh(model, tmp_path):
+    """Resume from a saved session == evaluating the full prompt fresh
+    (save-load-state example's assertion)."""
+    prompt = [5, 17, 130, 42, 99, 260]
+    sess = str(tmp_path / "s.npz")
+
+    e1 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    e1.eval(prompt)
+    session_mod.save(sess, e1, prompt)
+
+    e2 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    remaining = session_mod.try_load(sess, e2, prompt + [7, 8])
+    assert remaining == [7, 8]
+    assert e2.n_past == len(prompt)
+
+    l_resumed = e2.eval([7, 8])
+    e3 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    l_fresh = e3.eval(prompt + [7, 8])
+    np.testing.assert_allclose(l_resumed, l_fresh, atol=1e-5)
+
+
+def test_session_mismatch_falls_back(model, tmp_path):
+    sess = str(tmp_path / "s2.npz")
+    e1 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    e1.eval([1, 2, 3])
+    session_mod.save(sess, e1, [1, 2, 3])
+
+    e2 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    # completely different prompt: no prefix reuse
+    out = session_mod.try_load(sess, e2, [9, 9, 9])
+    assert out == [9, 9, 9] and e2.n_past == 0
+
+
+def test_embedding(model):
+    e = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    emb = e.embed([5, 17, 130])
+    assert emb.shape == (model.hparams.n_embd,)
+    assert np.all(np.isfinite(emb))
+    # embedding equals the normed hidden that produced the logits:
+    # lm_head(emb) == eval logits at the same position
+    e2 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    logits = e2.eval([5, 17, 130])
+    w = model.tensor_f32("lm_head.weight")
+    np.testing.assert_allclose(emb @ w.T, logits, atol=2e-3)
