@@ -108,15 +108,31 @@ class FalconEngine:
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
         self.mesh = mesh
         self._kv_sharding = None
+        self.tp_plan = None
         if mesh is not None:
             from jax.sharding import NamedSharding
-            from ggllm_tpu.parallel import sharding as shd
+            from ggllm_tpu.kernels.layout import KernelQuant
 
-            specs = shd.param_specs(params, hparams, mesh)
-            params = shd.shard_params(params, specs, mesh)
-            self._kv_sharding = NamedSharding(
-                mesh, shd.kv_specs(hparams, mesh, batch_size)
-            )
+            layers = params["layers"]
+            is_tp = isinstance(layers, (list, tuple)) and any(
+                isinstance(v, KernelQuant) for v in layers[0].values())
+            if is_tp:
+                # fused-kernel tensor parallelism: shard_map'd forward over
+                # device-blocked weights (parallel/tp.py), one psum/layer
+                from ggllm_tpu.parallel import tp as tp_mod
+
+                self.tp_plan = tp_mod.TpPlan(hparams, mesh.shape["model"])
+                self._st_local = self.tp_plan.local_static(self.st)
+                self._kv_sharding = NamedSharding(
+                    mesh, tp_mod.kv_spec(self.tp_plan))
+            else:
+                from ggllm_tpu.parallel import sharding as shd
+
+                specs = shd.param_specs(params, hparams, mesh)
+                params = shd.shard_params(params, specs, mesh)
+                self._kv_sharding = NamedSharding(
+                    mesh, shd.kv_specs(hparams, mesh, batch_size)
+                )
         self.params = params
         self.n_past = 0
         self.kv = self.new_kv()
@@ -146,18 +162,62 @@ class FalconEngine:
 
     # ------------------------------------------------------------- compile
 
+    def _tp_wrap(self, body, extra_in_specs, extra_out_specs):
+        """shard_map a jit body over (params, ..., kv, ...) for the TP path."""
+        from jax.sharding import PartitionSpec as P
+        from ggllm_tpu.parallel import tp as tp_mod
+
+        pspecs = tp_mod.tp_param_specs(self.params)
+        kvs = tp_mod.kv_spec(self.tp_plan)
+        return jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(pspecs,) + tuple(
+                kvs if s == "kv" else P() for s in extra_in_specs),
+            out_specs=tuple(
+                kvs if s == "kv" else P() for s in extra_out_specs),
+            check_vma=False,
+        )
+
+    def _tp_local_params(self, params):
+        from ggllm_tpu.kernels.layout import KernelQuant
+        from ggllm_tpu.parallel import tp as tp_mod
+
+        def conv(w):
+            if isinstance(w, KernelQuant) and next(iter(w.planes.values())).ndim == 4:
+                return tp_mod.local_view(w)
+            return w
+
+        return jax.tree.map(
+            conv, params, is_leaf=lambda x: isinstance(x, KernelQuant))
+
     def _forward_fn(self, seq_len: int, logits_all: bool):
         key = (seq_len, logits_all)
         if key not in self._fwd:
-            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
+            if self.tp_plan is not None:
+                st = self._st_local
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def fwd(params, tokens, kv, n_past, last_pos):
-                return forward(
-                    params, tokens, kv, n_past, inv_freq, st,
-                    logits_all=logits_all, compute_dtype=dtype, last_pos=last_pos,
-                )
+                def body(params, tokens, kv, n_past, last_pos):
+                    params = self._tp_local_params(params)
+                    return forward(
+                        params, tokens, kv, n_past, inv_freq, st,
+                        logits_all=logits_all, compute_dtype=dtype,
+                        last_pos=last_pos, psum_axis="model",
+                    )
+
+                fwd = jax.jit(
+                    self._tp_wrap(body, ("x", "kv", "x", "x"), ("x", "kv")),
+                    donate_argnums=(2,))
+            else:
+                st = self.st
+
+                @partial(jax.jit, donate_argnums=(2,))
+                def fwd(params, tokens, kv, n_past, last_pos):
+                    return forward(
+                        params, tokens, kv, n_past, inv_freq, st,
+                        logits_all=logits_all, compute_dtype=dtype, last_pos=last_pos,
+                    )
 
             self._fwd[key] = fwd
         return self._fwd[key]
@@ -218,17 +278,22 @@ class FalconEngine:
         """Jitted scan: n_steps of forward + on-device sampling, one dispatch."""
         key = ("loop", n_steps, temp, top_k, top_p)
         if key not in self._fwd:
-            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
+            tp = self.tp_plan is not None
+            st = self._st_local if tp else self.st
+            psum_axis = "model" if tp else None
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def loop(params, tok, kv, n_past, rng):
+            def loop_body(params, tok, kv, n_past, rng):
+                if tp:
+                    params = self._tp_local_params(params)
+
                 def body(carry, _):
                     tok, kv, n_past, rng = carry
                     logits, kv = forward(
                         params, tok.reshape(1, 1), kv, n_past, inv_freq,
                         st, logits_all=False, compute_dtype=dtype, last_pos=0,
-                        unroll=True,
+                        unroll=True, psum_axis=psum_axis,
                     )
                     rng, sub = jax.random.split(rng)
                     nxt = sampling_device.sample_logits(
@@ -239,6 +304,14 @@ class FalconEngine:
                     body, (tok, kv, n_past, rng), length=n_steps)
                 _, kv, _, rng = carry
                 return toks, kv, rng
+
+            if tp:
+                loop = jax.jit(
+                    self._tp_wrap(loop_body, ("x", "kv", "x", "x"),
+                                  ("x", "kv", "x")),
+                    donate_argnums=(2,))
+            else:
+                loop = jax.jit(loop_body, donate_argnums=(2,))
 
             self._fwd[key] = loop
         return self._fwd[key]
@@ -270,6 +343,7 @@ class FalconEngine:
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the
         reference embedding example's output (examples/embedding)."""
+        assert self.tp_plan is None, "embed under TP: use eval + lm_head inverse"
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
         if key not in self._fwd:
@@ -306,6 +380,7 @@ class FalconEngine:
     # scalar self.n_past untouched; the ContinuousBatcher owns row state.
 
     def _forward_rows_fn(self, seq_len: int):
+        assert self.tp_plan is None, "continuous batching under TP: next round"
         key = ("rows", seq_len)
         if key not in self._fwd:
             st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype

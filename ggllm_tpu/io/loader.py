@@ -238,6 +238,54 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
     return params
 
 
+def _try_load_falcon_tp(mf: ModelFile, cfg: EngineConfig, mesh, lora, dtype):
+    """Tensor-parallel fused-kernel params (parallel/tp.py). Returns None
+    when the model/mesh doesn't fit the TP plan (mixed formats, LoRA-densified
+    weights, data axis) — the caller falls back to the GSPMD path."""
+    from ggllm_tpu.parallel import tp
+
+    hp = mf.hparams
+    if lora is not None or mesh.shape.get("data", 1) != 1:
+        return None
+    try:
+        plan = tp.TpPlan(hp, mesh.shape["model"])
+    except AssertionError:
+        return None
+
+    layers = []
+    for i in range(hp.n_layer):
+        names = _layer_names(hp, i)
+        mats = {k: _load_matrix(mf, names[k], "fused", dtype)
+                for k in ("qkv", "ffn_up", "wo", "ffn_down")}
+        if not all(isinstance(m, QuantTensor) for m in mats.values()):
+            return None
+        if len({m.gtype for m in mats.values()}) != 1:
+            return None
+        lw = {
+            "input_ln_w": mf.tensor_f32(names["input_ln_w"]).astype(np.float32),
+            "input_ln_b": mf.tensor_f32(names["input_ln_b"]).astype(np.float32),
+        }
+        if hp.n_falcon_type >= 40:
+            lw["attn_ln_w"] = mf.tensor_f32(names["attn_ln_w"]).astype(np.float32)
+            lw["attn_ln_b"] = mf.tensor_f32(names["attn_ln_b"]).astype(np.float32)
+        try:
+            lw.update(tp.build_tp_layer(
+                mats["qkv"], mats["ffn_up"], mats["wo"], mats["ffn_down"],
+                plan, merge_up=hp.n_falcon_type < 40))
+        except AssertionError:
+            return None
+        layers.append(lw)
+
+    params = {
+        "tok_embeddings": mf.tensor_f32("transformer.word_embeddings.weight").astype(dtype),
+        "output_norm": mf.tensor_f32("transformer.ln_f.weight"),
+        "output_norm_b": mf.tensor_f32("transformer.ln_f.bias"),
+        "lm_head": _to_kernel(_load_matrix(mf, "lm_head.weight", "fused", dtype)),
+        "layers": layers,
+    }
+    return tp.shard_tp_params(params, mesh)
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
@@ -261,6 +309,10 @@ def load_params(
         lora = lora_mod.read_lora(lora)
     if mf.arch == "llama":
         return _load_llama_params(mf, cfg, kernel, lora, dtype)
+    if (mesh is not None and mode == "fused" and cfg.kernel_layout is not False):
+        tp_params = _try_load_falcon_tp(mf, cfg, mesh, lora, dtype)
+        if tp_params is not None:
+            return tp_params
     # layer weights are stacked for lax.scan, so a key patched in ANY layer
     # must densify in EVERY layer (mixed QuantTensor/dense cannot stack)
     dense_keys: set[str] = set()

@@ -202,8 +202,10 @@ def _layer_pre(x, lw, n_past, inv_freq, st: FalconStatic):
     return q, kv_new, gf
 
 
-def _layer_post(x, lw, attn, gf, st: FalconStatic):
-    """Output projection + parallel residual."""
+def _layer_post(x, lw, attn, gf, st: FalconStatic, psum_axis: str | None = None):
+    """Output projection + parallel residual. Under tensor parallelism the
+    w_od contraction is device-sharded and `psum_axis` reduces the partial
+    outputs — the layer's single collective."""
     B, S, E = x.shape
     if "w_od" in lw:  # merged wo+down along K: one launch, fed [attn; gelu]
         act = jnp.concatenate([attn.reshape(B, S, st.n_head * st.head_dim), gf],
@@ -212,6 +214,8 @@ def _layer_post(x, lw, attn, gf, st: FalconStatic):
     else:
         out = linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim)) \
             + linear(lw["ffn_down"], gf)
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
     return x + out
 
 
@@ -241,6 +245,7 @@ def falcon_forward(
     last_pos: jnp.ndarray | int = 0,
     unroll: bool = False,
     output_hidden: bool = False,
+    psum_axis: str | None = None,
 ):
     """Run the full model. Returns (logits f32, new kv).
 
@@ -269,8 +274,10 @@ def falcon_forward(
             # single small in-place write into the donated stacked cache
             kv = _kv_write_layer(kv, kv_new, l, n_past)
             attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
-            x = _layer_post(x, lw, attn, gf, st)
+            x = _layer_post(x, lw, attn, gf, st, psum_axis)
     else:
+        assert psum_axis is None, "TP runs the unrolled (list) layer path"
+
         def body(carry, xs):
             h = carry
             lw, kvc = xs

@@ -1,0 +1,79 @@
+"""Tensor-parallel fused-kernel path (shard_map): logits must equal the
+single-device fused path on the 8-device CPU mesh, for MQA (padded query
+heads) and GQA (sharded kv heads)."""
+
+import numpy as np
+import pytest
+import jax
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.kernels.layout import KernelQuant
+from ggllm_tpu.ops import sampling
+from ggllm_tpu.parallel.mesh import make_mesh
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+
+
+def _cfg(**kw):
+    kw.setdefault("n_ctx", 64)
+    kw.setdefault("n_batch", 16)
+    kw.setdefault("kv_dtype", "float32")
+    kw.setdefault("compute_dtype", "float32")
+    return EngineConfig(**kw)
+
+
+@pytest.mark.parametrize("hp_name,mp", [("tiny", 2), ("tiny", 4), ("tiny_gqa", 2)])
+def test_tp_matches_single_device(tmp_path, hp_name, mp):
+    hp = getattr(FalconHParams, hp_name)()
+    path = str(tmp_path / "m.ggcc")
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=23)
+    mf = read_model(path)
+
+    # single-device fused reference (kernel layout, interpret kernels)
+    cfg1 = _cfg(kernel_layout=True)
+    e1 = FalconEngine(mf.hparams, load_params(mf, cfg1), cfg1)
+
+    mesh = make_mesh(data=1, model=mp)
+    cfg2 = _cfg()
+    params_tp = load_params(mf, cfg2, mesh=mesh)
+    assert isinstance(params_tp["layers"], list)
+    l0 = params_tp["layers"][0]
+    proj = l0["wqkvu"] if hp_name == "tiny" else l0["wqkv"]
+    assert isinstance(proj, KernelQuant)
+    assert next(iter(proj.planes.values())).ndim == 4  # device axis
+    e2 = FalconEngine(mf.hparams, params_tp, cfg2, mesh=mesh)
+    assert e2.tp_plan is not None
+
+    prompt = [5, 17, 130, 42, 99, 260]
+    l_ref = e1.eval(prompt)
+    l_tp = e2.eval(prompt)
+    scale = np.abs(l_ref).max() + 1e-6
+    np.testing.assert_allclose(l_tp / scale, l_ref / scale, atol=5e-5)
+
+    # decode step parity (exercises KV replication/sharding)
+    t = int(np.argmax(l_ref))
+    np.testing.assert_allclose(
+        e2.eval([t]) / scale, e1.eval([t]) / scale, atol=5e-5)
+
+
+def test_tp_fused_decode_loop(tmp_path):
+    hp = FalconHParams.tiny()
+    path = str(tmp_path / "m.ggcc")
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=24)
+    mf = read_model(path)
+
+    cfg1 = _cfg(kernel_layout=True)
+    e1 = FalconEngine(mf.hparams, load_params(mf, cfg1), cfg1)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    ref = e1.generate([5, 17, 130], n_predict=12, sampler=greedy)
+
+    mesh = make_mesh(data=1, model=2)
+    cfg2 = _cfg()
+    e2 = FalconEngine(mf.hparams, load_params(mf, cfg2, mesh=mesh), cfg2, mesh=mesh)
+    got = e2.generate([5, 17, 130], n_predict=12, sampler=greedy)
+    assert got == ref
