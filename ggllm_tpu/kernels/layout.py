@@ -238,8 +238,7 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
         # Q4_1/Q5_1 store m (added); kernel computes q*ds - ms, so negate
         sign = -1.0 if gtype in (GGMLType.Q4_1, GGMLType.Q5_1) else 1.0
         out["ms"] = chunk_scales(ms) * np.float32(sign)
-    else:
-        # fold the integer offset into the min plane: w = q*ds + offset*ds
-        if spec.offset != 0.0:
-            out["ms"] = chunk_scales(ds) * np.float32(-spec.offset)
+    # offset-only formats apply the integer offset in-kernel (one i32 add)
+    # instead of carrying a second scale plane — decode is HBM-bound and the
+    # extra plane costs a full bit/weight on Q4_0
     return KernelQuant(gtype, (O, K), ck, out)

@@ -60,6 +60,8 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             unp = unp << shift
         q = unp if q is None else q + unp
 
+    if spec.offset:  # offset-only formats: integer add, no min plane
+        q = q + jnp.int32(spec.offset)
     w = q.astype(jnp.float32) * jnp.repeat(ds_ref[0], spec.group, axis=0)
     if ms_ref is not None:
         w = w - jnp.repeat(ms_ref[0], spec.group, axis=0)
