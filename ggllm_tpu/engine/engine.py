@@ -4,15 +4,18 @@ The falcon_context/falcon_eval analogue (libfalcon.cpp:2011-2588, 3755-3833),
 redesigned for XLA's compile-once model instead of ggml's rebuild-per-token
 graphs:
 
-* the KV cache is a pair of preallocated (n_layer, B, n_ctx, n_head_kv,
-  head_dim) arrays, functionally updated with dynamic_update_slice and donated
-  through jit so XLA aliases them in place;
+* the KV cache is ONE preallocated (n_layer, 2, B, kv_T, n_head_kv, head_dim)
+  array (kv_T = n_ctx + scratch), functionally updated and donated through
+  jit so XLA aliases it in place;
 * prefill lengths are padded to power-of-two buckets; padded query positions
-  write scratch KV slots beyond n_past+len which the next chunk overwrites,
-  so masking stays a simple `key_pos <= query_pos`;
-* decode is a fixed (B, 1) step — one compiled program for the whole
-  generation loop;
-* sampling runs on host (ops/sampling.py) on the final-position logits.
+  write the KV scratch region past n_ctx, so masking stays a simple
+  `key_pos <= query_pos`;
+* decode runs DECODE_CHUNK fused forward+sample steps per dispatch
+  (on-device sampling for greedy/temp/top-k/top-p); the host sampling
+  cascade (ops/sampling.py) covers penalties/mirostat per token;
+* batched (per-row n_past) entry points serve the continuous batcher;
+* under a mesh, either the shard_map tensor-parallel fused path
+  (parallel/tp.py, KernelQuant weights) or the GSPMD split-weight fallback.
 """
 
 from __future__ import annotations

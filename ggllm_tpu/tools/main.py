@@ -12,6 +12,7 @@ import sys
 import time
 
 import numpy as np
+import jax
 
 from ggllm_tpu.core.config import EngineConfig
 from ggllm_tpu.engine.engine import FalconEngine
@@ -62,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
     ap.add_argument("--verbose-timings", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax profiler trace of generation to DIR "
+                         "(the reference's --debug-timings per-op analogue)")
     return ap
 
 
@@ -139,6 +143,8 @@ def main(argv=None):
     sys.stdout.buffer.write(prompt.encode())
     sys.stdout.flush()
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     state = sampling.SamplerState.init(sampler)
     if not eval_ids:
         eval_ids = [prompt_ids[-1]]
@@ -167,6 +173,9 @@ def main(argv=None):
         logits = engine.eval([tok])
 
     print()
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     if args.prompt_cache:
         session_mod.save(args.prompt_cache, engine, last_tokens)
     print(engine.timings.report(), file=sys.stderr)
