@@ -153,7 +153,7 @@ class ContinuousBatcher:
             return
         toks, self.rng = self.eng.decode_rows(
             self.last_tok, self.n_past, self.chunk, self.temp, self.top_p,
-            top_k=self.top_k, rng_key=self.rng)
+            top_k=self.top_k, rng_key=self.rng, active_rows=len(self.active))
         for row, req in enumerate(self.rows):
             if req is None:
                 continue

@@ -287,14 +287,19 @@ class FalconEngine:
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
 
+            B = self.batch
+
             def loop_body(params, tok, kv, n_past, rng):
                 if tp:
                     params = self._tp_local_params(params)
 
                 def body(carry, _):
                     tok, kv, n_past, rng = carry
+                    # single-stream generation: broadcast the token to every
+                    # cache row (only row 0's logits are sampled)
+                    toks_b = jnp.full((B, 1), tok, jnp.int32)
                     logits, kv = forward(
-                        params, tok.reshape(1, 1), kv, n_past, inv_freq,
+                        params, toks_b, kv, n_past, inv_freq,
                         st, logits_all=False, compute_dtype=dtype, last_pos=0,
                         unroll=True, psum_axis=psum_axis,
                     )
@@ -348,6 +353,12 @@ class FalconEngine:
         reference embedding example's output (examples/embedding)."""
         assert self.tp_plan is None, "embed under TP: use eval + lm_head inverse"
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        # evaluate all but the final chunk through the normal prefill path,
+        # then one hidden-output forward for the tail
+        if tokens.size > self.cfg.n_batch:
+            head = tokens.size - self.cfg.n_batch
+            self.eval_tokens(tokens[:head])
+            tokens = tokens[head:]
         key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
         if key not in self._fwd:
             st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
@@ -458,9 +469,10 @@ class FalconEngine:
         return self._fwd[key]
 
     def decode_rows(self, toks, n_past_vec, n_steps: int, temp, top_p,
-                    top_k: int = 64, rng_key=None):
+                    top_k: int = 64, rng_key=None, active_rows: int | None = None):
         """n_steps fused batched decode steps. toks: (B,) last sampled per
-        row. Returns ((n_steps, B) successor ids, rng)."""
+        row. Returns ((n_steps, B) successor ids, rng). active_rows scopes
+        the timing counters to genuinely live rows."""
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         loop = self._decode_rows_fn(n_steps, top_k)
@@ -473,7 +485,8 @@ class FalconEngine:
         out = np.asarray(jax.device_get(out))
         self.kv = kv
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
-        self.timings.n_decode += n_steps * self.batch
+        self.timings.n_decode += n_steps * (active_rows if active_rows is not None
+                                            else self.batch)
         return out, rng_key
 
     # ------------------------------------------------------------ generate

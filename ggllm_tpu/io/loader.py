@@ -308,6 +308,10 @@ def load_params(
 
         lora = lora_mod.read_lora(lora)
     if mf.arch == "llama":
+        if mesh is not None:
+            raise NotImplementedError(
+                "multi-chip LLaMA sharding lands with the llama TP plan; "
+                "load without a mesh for now")
         return _load_llama_params(mf, cfg, kernel, lora, dtype)
     if (mesh is not None and mode == "fused" and cfg.kernel_layout is not False):
         tp_params = _try_load_falcon_tp(mf, cfg, mesh, lora, dtype)

@@ -29,7 +29,7 @@ def _kern(scale, BS, BT, causal_skip, q_ref, k_ref, v_ref, np_ref, o_ref,
           m_ref, l_ref, acc_ref):
     s_i = pl.program_id(2)
     t_i = pl.program_id(3)
-    n_past = np_ref[0]
+    n_past = np_ref[pl.program_id(0), 0]  # whole (B,1) array lives in SMEM
 
     @pl.when(t_i == 0)
     def _():
@@ -81,7 +81,8 @@ def flash_mqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_past,
     BS = min(block_s, S)
     BT = min(block_t, T)
     scale = 1.0 / (D ** 0.5)
-    np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+    np_vec = jnp.broadcast_to(
+        jnp.asarray(n_past, jnp.int32).reshape(-1), (B,)).reshape(B, 1)
 
     # head-major layout: the block's trailing dims must be the (row, lane)
     # tile, so heads move to a leading (blocked-by-1) axis. For MQA (KV=1)
@@ -102,7 +103,7 @@ def flash_mqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_past,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BT, D), lambda b, h, s, t, _G=G: (b, h // _G, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b, h, s, t: (b,),
+            pl.BlockSpec((B, 1), lambda b, h, s, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, BS, D), lambda b, h, s, t: (b, h, s, 0),

@@ -216,11 +216,12 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
 
     out: dict[str, np.ndarray] = {}
     for name, bits, shift in spec.planes:
+        if bits == 8:  # Q8_0: signed codes pass through unpacked
+            out[name] = np.ascontiguousarray(codes.T).reshape(
+                kp // ck, ck, O).astype(np.int8)
+            continue
         sub = (codes >> shift) & ((1 << bits) - 1)
-        packed = _pack_plane(sub, bits, ck)
-        if bits == 8:  # Q8_0: keep signed codes as int8
-            packed = codes.T.reshape(kp // ck, ck, O).astype(np.int8)
-        out[name] = packed
+        out[name] = _pack_plane(sub, bits, ck)
 
     n_k = kp // ck
     g = spec.group

@@ -131,8 +131,10 @@ def llama_forward(
     last_pos: jnp.ndarray | int = 0,
     unroll: bool = False,
     output_hidden: bool = False,
+    psum_axis: str | None = None,
 ):
     """Same contract as falcon_forward (engine-interchangeable)."""
+    assert psum_axis is None, "LLaMA tensor parallelism uses the GSPMD path"
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
 
     layers = params["layers"]

@@ -24,6 +24,10 @@ def device_samplable(sampler) -> bool:
         and sampler.frequency_penalty == 0.0
         and sampler.presence_penalty == 0.0
         and not sampler.logit_bias
+        # top_k <= 0 means full-vocab in the reference cascade
+        # (falcon_main.cpp sampling); the device path caps at 1024, so
+        # route those to the host for exact semantics (greedy exempt)
+        and (sampler.temp <= 0.0 or 0 < sampler.top_k <= 1024)
     )
 
 

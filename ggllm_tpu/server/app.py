@@ -89,9 +89,12 @@ class ServerState:
 
         prompt_ids = self.tk.tokenize(prompt, bos=True)
         if len(prompt_ids) >= cfg.n_ctx:
-            # keep n_keep head + most recent tail (server.cpp truncation)
-            n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 2
-            prompt_ids = prompt_ids[:n_keep] + prompt_ids[-(cfg.n_ctx - n_keep - n_predict):]
+            # keep n_keep head + most recent tail (server.cpp truncation);
+            # clamp so head + tail + n_predict always fits in n_ctx
+            n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 4
+            n_keep = max(0, min(n_keep, cfg.n_ctx - n_predict - 1))
+            tail = max(1, cfg.n_ctx - n_keep - n_predict)
+            prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
 
         # prefix reuse against the previous request's tokens
         n_common = _common_part(self.cache_tokens, prompt_ids)

@@ -39,7 +39,13 @@ def tokenize(vocab, text: str | bytes, bos: bool = False) -> list[int]:
     if not data:
         return out
 
-    token_to_id = {t: i for i, t in enumerate(vocab.id_to_token)}
+    token_to_id = getattr(vocab, "_sp_token_to_id", None)
+    if token_to_id is None or len(token_to_id) != len(vocab.id_to_token):
+        token_to_id = {t: i for i, t in enumerate(vocab.id_to_token)}
+        try:
+            vocab._sp_token_to_id = token_to_id  # cache on the instance
+        except AttributeError:
+            pass
     scores = vocab.scores
 
     # symbol chain: list of (start, length); length 0 = merged away

@@ -23,8 +23,9 @@ def engine_factory(tmp_path_factory):
     cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
                        compute_dtype="float32")
 
-    def make():
-        return FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    def make(batch_size: int = 1):
+        return FalconEngine(mf.hparams, load_params(mf, cfg), cfg,
+                            batch_size=batch_size)
 
     return make
 
@@ -83,3 +84,24 @@ def test_fused_sampled_reproducible(engine_factory):
     b = engine_factory().generate(prompt, n_predict=16, sampler=s)
     assert a == b
     assert len(a) == 16
+
+
+def test_fused_generate_on_batch_engine(engine_factory):
+    """Single-stream fused generation on a batch_size>1 engine (regression:
+    decode_chunk once reshaped the token to (1,1) against a B-row cache)."""
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    ref = engine_factory().generate([5, 17, 130], n_predict=10, sampler=greedy)
+    got = engine_factory(batch_size=2).generate([5, 17, 130], n_predict=10,
+                                                sampler=greedy)
+    assert got == ref
+
+
+def test_full_vocab_top_k_stays_on_host(engine_factory):
+    """top_k <= 0 means full-vocab in the reference cascade; the device loop
+    caps at 1024, so such samplers must take the host path."""
+    from ggllm_tpu.ops.sampling_device import device_samplable
+
+    assert not device_samplable(
+        sampling.SamplerParams(temp=0.8, top_k=0, repeat_penalty=1.0))
+    assert device_samplable(
+        sampling.SamplerParams(temp=0.0, top_k=0, repeat_penalty=1.0))  # greedy

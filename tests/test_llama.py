@@ -115,3 +115,18 @@ def test_llama_merged_kernel_layout_matches_split(llama_file):
     l1, l2 = e1.eval(prompt), e2.eval(prompt)
     scale = np.abs(l1).max() + 1e-6
     np.testing.assert_allclose(l2 / scale, l1 / scale, atol=5e-5)
+
+
+def test_llama_fused_generate(llama_file):
+    """Greedy generation hits the fused decode loop (regression: llama_forward
+    once lacked the psum_axis kwarg the loop passes)."""
+    from ggllm_tpu.ops import sampling
+
+    path, hp = llama_file
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=48, n_batch=8, kv_dtype="float32",
+                       compute_dtype="float32")
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    out = eng.generate([5, 300, 42], n_predict=8, sampler=greedy)
+    assert len(out) == 8

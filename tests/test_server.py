@@ -97,3 +97,13 @@ def test_common_part_and_partial_stop():
     assert _common_part([1, 2, 3], [1, 2, 4]) == 2
     assert _partial_stop(b"hello <|e", [b"<|endoftext|>"]) == 3
     assert _partial_stop(b"hello", [b"<|endoftext|>"]) == 0
+
+
+def test_truncation_never_exceeds_ctx(server):
+    # regression: prompts >= n_ctx with large n_predict once kept the whole
+    # prompt (slice[-0:]) and pushed n_past past n_ctx
+    long_prompt = "ab " * 300  # tokenizes past n_ctx=128
+    out = _post(server, "/completion",
+                {"prompt": long_prompt, "n_predict": 64, "temperature": 0.0})
+    assert out["stop"] is True
+    assert out["tokens_evaluated"] + 64 <= 128 + 1

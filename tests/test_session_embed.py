@@ -59,6 +59,19 @@ def test_session_mismatch_falls_back(model, tmp_path):
     assert out == [9, 9, 9] and e2.n_past == 0
 
 
+def test_embedding_long_prompt_chunks(model):
+    """Prompts longer than one prefill bucket chunk through eval first."""
+    e = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    long_prompt = list(range(5, 45))  # 40 tokens > n_batch=16
+    emb = e.embed(long_prompt)
+    assert emb.shape == (model.hparams.n_embd,)
+    # equals eval-then-embed of the same sequence
+    e2 = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    e2.eval(long_prompt[:-3])
+    emb2 = e2.embed(long_prompt[-3:])
+    np.testing.assert_allclose(emb, emb2, atol=1e-5)
+
+
 def test_embedding(model):
     e = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
     emb = e.embed([5, 17, 130])
