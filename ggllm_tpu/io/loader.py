@@ -286,6 +286,50 @@ def _try_load_falcon_tp(mf: ModelFile, cfg: EngineConfig, mesh, lora, dtype):
     return tp.shard_tp_params(params, mesh)
 
 
+def _try_load_llama_tp(mf: ModelFile, cfg: EngineConfig, mesh, lora, dtype):
+    """Device-blocked llama TP params (parallel/tp.py); None if infeasible."""
+    from ggllm_tpu.parallel import tp
+
+    hp = mf.hparams
+    if lora is not None or mesh.shape.get("data", 1) != 1:
+        return None
+    if cfg.weight_mode != "fused":
+        return None
+    try:
+        plan = tp.TpPlan(hp, mesh.shape["model"])
+    except AssertionError:
+        return None
+
+    layers = []
+    for i in range(hp.n_layer):
+        names = _llama_names(i)
+        mats = {k: _load_matrix(mf, names[k], "fused", dtype)
+                for k in ("wq", "wk", "wv", "wo", "w1", "w2", "w3")}
+        if not all(isinstance(m, QuantTensor) for m in mats.values()):
+            return None
+        if len({m.gtype for m in mats.values()}) != 1:
+            return None
+        lw = {
+            "attn_norm": mf.tensor_f32(names["attn_norm"]).astype(np.float32),
+            "ffn_norm": mf.tensor_f32(names["ffn_norm"]).astype(np.float32),
+        }
+        try:
+            lw.update(tp.build_tp_llama_layer(
+                mats["wq"], mats["wk"], mats["wv"], mats["wo"],
+                mats["w1"], mats["w2"], mats["w3"], plan))
+        except AssertionError:
+            return None
+        layers.append(lw)
+
+    params = {
+        "tok_embeddings": mf.tensor_f32("tok_embeddings.weight").astype(dtype),
+        "output_norm": mf.tensor_f32("norm.weight"),
+        "lm_head": _to_kernel(_load_matrix(mf, "output.weight", "fused", dtype)),
+        "layers": layers,
+    }
+    return tp.shard_tp_params(params, mesh)
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
@@ -309,9 +353,12 @@ def load_params(
         lora = lora_mod.read_lora(lora)
     if mf.arch == "llama":
         if mesh is not None:
-            raise NotImplementedError(
-                "multi-chip LLaMA sharding lands with the llama TP plan; "
-                "load without a mesh for now")
+            tp_params = _try_load_llama_tp(mf, cfg, mesh, lora, dtype)
+            if tp_params is None:
+                raise NotImplementedError(
+                    "multi-chip LLaMA needs the TP plan (uniform quant type, "
+                    "mp | n_head, no LoRA, no data axis)")
+            return tp_params
         return _load_llama_params(mf, cfg, kernel, lora, dtype)
     if (mesh is not None and mode == "fused" and cfg.kernel_layout is not False):
         tp_params = _try_load_falcon_tp(mf, cfg, mesh, lora, dtype)

@@ -133,8 +133,10 @@ def llama_forward(
     output_hidden: bool = False,
     psum_axis: str | None = None,
 ):
-    """Same contract as falcon_forward (engine-interchangeable)."""
-    assert psum_axis is None, "LLaMA tensor parallelism uses the GSPMD path"
+    """Same contract as falcon_forward (engine-interchangeable). Under
+    tensor parallelism (psum_axis set) wo and w2 are contraction-sharded and
+    each residual add reduces the partial output (two collectives/layer —
+    sequential residuals, unlike Falcon's single fused psum)."""
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
 
     layers = params["layers"]
@@ -146,9 +148,17 @@ def llama_forward(
             kv = _kv_write_layer(kv, kv_new, l, n_past)
             attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
             B, S, _ = x.shape
-            x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
-            x = x + _ffn(x, lw, st)
+            a_out = linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
+            if psum_axis is not None:
+                a_out = jax.lax.psum(a_out, psum_axis)
+            x = x + a_out
+            f_out = _ffn(x, lw, st)
+            if psum_axis is not None:
+                f_out = jax.lax.psum(f_out, psum_axis)
+            x = x + f_out
     else:
+        assert psum_axis is None, "TP runs the unrolled (list) layer path"
+
         def body(carry, xs):
             h = carry
             lw, kvc = xs

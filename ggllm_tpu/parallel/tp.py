@@ -75,8 +75,9 @@ class TpPlan:
         self.f_local = self.F // mp
 
     def local_static(self, st):
-        """Single-device FalconStatic view of the sharded model."""
-        return replace(st, n_head=self.h_local, n_head_kv=self.kv_local)
+        """Single-device static view of the sharded model (both families)."""
+        return replace(st, n_head=self.h_local, n_head_kv=self.kv_local,
+                       n_ff=self.f_local)
 
 
 def _stack_kq(parts: list[klayout.KernelQuant]) -> klayout.KernelQuant:
@@ -164,7 +165,7 @@ def _kq_spec(kq: klayout.KernelQuant, spec: P) -> klayout.KernelQuant:
 
 def tp_param_specs(params: dict) -> dict:
     """PartitionSpec pytree for TP-blocked params (shard_map in_specs /
-    NamedSharding)."""
+    NamedSharding). Generic over the param dict (both model families)."""
     dev_axis = P("model", None, None, None)
 
     def leaf(w):
@@ -175,13 +176,13 @@ def tp_param_specs(params: dict) -> dict:
             return _kq_spec(w, dev_axis if ndim == 4 else P(None, None, None))
         return P()
 
-    return {
-        "tok_embeddings": P(),
-        "output_norm": P(),
-        "output_norm_b": P(),
-        "lm_head": leaf(params["lm_head"]),
-        "layers": [{k: leaf(v) for k, v in lw.items()} for lw in params["layers"]],
-    }
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = [{kk: leaf(vv) for kk, vv in lw.items()} for lw in v]
+        else:
+            out[k] = leaf(v)
+    return out
 
 
 def kv_spec(plan: TpPlan) -> P:
@@ -196,3 +197,40 @@ def shard_tp_params(params: dict, mesh: Mesh) -> dict:
     return jax.tree.map(
         lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
         params, specs)
+
+
+def build_tp_llama_layer(wq, wk, wv, wo, w1, w2, w3, plan: TpPlan) -> dict:
+    """LLaMA planar layer weights -> device-stacked KernelQuants.
+
+    LLaMA (KV == H) shards heads 1:1 and the FFN width; wo and w2 split
+    along the contraction dim, each followed by its own psum (sequential
+    residuals need two collectives per layer, vs Falcon's one).
+    """
+    D, mp = plan.D, plan.mp
+    mats = [wq, wk, wv, wo, w1, w2, w3]
+    gt = wq.gtype
+    assert all(m.gtype == gt for m in mats), "TP requires a uniform quant type"
+    assert plan.KV == plan.H, "use build_tp_layer for Falcon-family models"
+    bs = TYPE_TRAITS[gt].block_size
+    assert (plan.h_local * D) % bs == 0 and plan.f_local % bs == 0, \
+        f"TP shard widths must be multiples of the quant block ({bs})"
+
+    E = wq.shape[1]
+    hD, fl = plan.h_local * D, plan.f_local
+    wqkv_p, w13_p, wo_p, w2_p = [], [], [], []
+    for d in range(mp):
+        h_lo, h_hi = d * hD, (d + 1) * hD
+        f_lo, f_hi = d * fl, (d + 1) * fl
+        wqkv_p.append(klayout.to_kernel(gt, klayout.merge_out([
+            _rows(wq.planes, h_lo, h_hi),
+            _rows(wk.planes, h_lo, h_hi),
+            _rows(wv.planes, h_lo, h_hi)]), (3 * hD, E)))
+        w13_p.append(klayout.to_kernel(gt, klayout.merge_out([
+            _rows(w1.planes, f_lo, f_hi),
+            _rows(w3.planes, f_lo, f_hi)]), (2 * fl, E)))
+        wo_p.append(klayout.to_kernel(
+            gt, _cols_blocks(wo.planes, h_lo // bs, h_hi // bs), (E, hD)))
+        w2_p.append(klayout.to_kernel(
+            gt, _cols_blocks(w2.planes, f_lo // bs, f_hi // bs), (E, fl)))
+    return {"wqkv": _stack_kq(wqkv_p), "w13": _stack_kq(w13_p),
+            "wo": _stack_kq(wo_p), "w2": _stack_kq(w2_p)}

@@ -77,3 +77,44 @@ def test_tp_fused_decode_loop(tmp_path):
     e2 = FalconEngine(mf.hparams, load_params(mf, cfg2, mesh=mesh), cfg2, mesh=mesh)
     got = e2.generate([5, 17, 130], n_predict=12, sampler=greedy)
     assert got == ref
+
+
+def test_llama_tp_matches_single_device(tmp_path):
+    from ggllm_tpu.core.config import LlamaHParams
+    from ggllm_tpu.utils.synthetic import write_tiny_llama
+
+    path = str(tmp_path / "l.ggjt")
+    # n_mult=64 -> n_ff=384, so the per-device FFN shard (192) is a
+    # whole number of 32-wide quant blocks
+    hp = LlamaHParams(n_vocab=512, n_embd=128, n_mult=64, n_head=4,
+                      n_layer=2, n_rot=32)
+    write_tiny_llama(path, hp=hp, ftype_2d=GGMLType.Q8_0, seed=31)
+    mf = read_model(path)
+
+    cfg1 = _cfg(kernel_layout=True)
+    e1 = FalconEngine(mf.hparams, load_params(mf, cfg1), cfg1)
+
+    mesh = make_mesh(data=1, model=2)  # tiny llama: H=4, mp=2 -> 2 heads/dev
+    cfg2 = _cfg()
+    params_tp = load_params(mf, cfg2, mesh=mesh)
+    l0 = params_tp["layers"][0]
+    assert all(k in l0 for k in ("wqkv", "w13", "wo", "w2"))
+    e2 = FalconEngine(mf.hparams, params_tp, cfg2, mesh=mesh)
+    assert e2.tp_plan is not None
+
+    prompt = [5, 300, 42, 17, 260]
+    l_ref = e1.eval(prompt)
+    l_tp = e2.eval(prompt)
+    scale = np.abs(l_ref).max() + 1e-6
+    np.testing.assert_allclose(l_tp / scale, l_ref / scale, atol=5e-5)
+    t = int(np.argmax(l_ref))
+    np.testing.assert_allclose(e2.eval([t]) / scale, e1.eval([t]) / scale,
+                               atol=5e-5)
+
+    # fused decode loop under llama TP
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    e3 = FalconEngine(mf.hparams, load_params(mf, cfg2, mesh=mesh), cfg2,
+                      mesh=mesh)
+    e4 = FalconEngine(mf.hparams, load_params(mf, cfg1), cfg1)
+    assert e3.generate([5, 300, 42], n_predict=10, sampler=greedy) == \
+        e4.generate([5, 300, 42], n_predict=10, sampler=greedy)
