@@ -106,7 +106,8 @@ class FalconEngine:
         if flash is None:
             flash = mesh is None and _jax.default_backend() == "tpu"
         self.st, self._forward = resolve_model(hparams, flash=flash)
-        self.kv_dtype = jnp.dtype(self.cfg.kv_dtype)
+        self.kv_dtype = (self.cfg.kv_dtype if self.cfg.kv_dtype == "int8"
+                         else jnp.dtype(self.cfg.kv_dtype))
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
         self.mesh = mesh
@@ -152,11 +153,13 @@ class FalconEngine:
         return self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK)
 
     def new_kv(self):
+        from ggllm_tpu.ops import kvcache
+
         hp = self.hp
         shape = (hp.n_layer, 2, self.batch, self.kv_T, hp.n_head_kv, hp.head_dim)
-        kv = jnp.zeros(shape, dtype=self.kv_dtype)
+        kv = kvcache.new(shape, self.kv_dtype)
         if self._kv_sharding is not None:
-            kv = jax.device_put(kv, self._kv_sharding)
+            kv = jax.tree.map(lambda a: jax.device_put(a, self._kv_sharding), kv)
         return kv
 
     def reset(self):

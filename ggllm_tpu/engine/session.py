@@ -30,8 +30,17 @@ def save(path: str, engine, tokens: list[int]) -> None:
         n_ctx=engine.cfg.n_ctx,
         n_past=engine.n_past,
         tokens=np.asarray(tokens, dtype=np.int32),
-        kv=np.asarray(engine.kv).astype(np.float32),
+        # int8 caches persist dequantized; restore re-quantizes via astype
+        kv=np.asarray(_dense_kv(engine)).astype(np.float32),
     )
+
+
+def _dense_kv(engine):
+    kv = engine.kv
+    if isinstance(kv, tuple):
+        data, scales = kv
+        return np.asarray(data, dtype=np.float32) * np.asarray(scales)
+    return np.asarray(kv)
 
 
 def try_load(path: str, engine, prompt_ids: list[int]) -> list[int]:
@@ -66,6 +75,13 @@ def try_load(path: str, engine, prompt_ids: list[int]) -> list[int]:
     if n == 0:
         return list(prompt_ids)
 
-    engine.kv = jnp.asarray(z["kv"]).astype(engine.kv_dtype)
+    if engine.kv_dtype == "int8":
+        from ggllm_tpu.ops import kvcache
+
+        # quantize_new reduces over the last (head_dim) axis only, so the
+        # full stacked cache quantizes in one call
+        engine.kv = kvcache.quantize_new(jnp.asarray(z["kv"]))
+    else:
+        engine.kv = jnp.asarray(z["kv"]).astype(engine.kv_dtype)
     engine.n_past = n
     return list(prompt_ids[n:])

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.ops import kvcache
 from ggllm_tpu.ops.linear import linear
 from ggllm_tpu.ops.rope import apply_rope
 
@@ -228,8 +229,9 @@ def falcon_layer(
     st: FalconStatic,
 ):
     q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
-    kv_cache = _kv_write(kv_cache, kv_new, n_past)
-    attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
+    kv_cache = kvcache.write(kv_cache, kv_new, n_past)
+    k, v = kvcache.read(kv_cache, q.dtype)
+    attn = _attention(q, k, v, n_past, st)
     return _layer_post(x, lw, attn, gf, st), kv_cache
 
 
@@ -272,8 +274,9 @@ def falcon_forward(
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
             # single small in-place write into the donated stacked cache
-            kv = _kv_write_layer(kv, kv_new, l, n_past)
-            attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
+            kv = kvcache.write_layer(kv, kv_new, l, n_past)
+            k, v = kvcache.read_layer(kv, l, q.dtype)
+            attn = _attention(q, k, v, n_past, st)
             x = _layer_post(x, lw, attn, gf, st, psum_axis)
     else:
         assert psum_axis is None, "TP runs the unrolled (list) layer path"

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ggllm_tpu.core.config import LlamaHParams
-from ggllm_tpu.models.falcon import _attention, _kv_write, _kv_write_layer, _positions, select_last
+from ggllm_tpu.models.falcon import _attention, _positions, select_last
+from ggllm_tpu.ops import kvcache
 from ggllm_tpu.ops.linear import linear
 
 RMS_EPS = 1e-6  # ggml_rms_norm epsilon
@@ -112,8 +113,9 @@ def _ffn(x, lw, st: LlamaStatic):
 
 def llama_layer(x, lw, kv_cache, n_past, inv_freq, st: LlamaStatic):
     q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-    kv_cache = _kv_write(kv_cache, kv_new, n_past)
-    attn = _attention(q, kv_cache[0], kv_cache[1], n_past, st)
+    kv_cache = kvcache.write(kv_cache, kv_new, n_past)
+    k, v = kvcache.read(kv_cache, q.dtype)
+    attn = _attention(q, k, v, n_past, st)
     B, S, _ = x.shape
     x = x + linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
     return x + _ffn(x, lw, st), kv_cache
@@ -145,8 +147,9 @@ def llama_forward(
             lw = layers[l] if isinstance(layers, (list, tuple)) else \
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-            kv = _kv_write_layer(kv, kv_new, l, n_past)
-            attn = _attention(q, kv[l, 0], kv[l, 1], n_past, st)
+            kv = kvcache.write_layer(kv, kv_new, l, n_past)
+            k, v = kvcache.read_layer(kv, l, q.dtype)
+            attn = _attention(q, k, v, n_past, st)
             B, S, _ = x.shape
             a_out = linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
             if psum_axis is not None:
