@@ -227,18 +227,27 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
     g = spec.group
 
     def chunk_scales(s: np.ndarray) -> np.ndarray:
-        # (O, nb[, sub]) effective scales -> (n_k, ck//g, O) f32, K-padded
+        # (O, nb[, sub]) effective scales -> (n_k, ck//g, O), K-padded.
+        # When every value is exactly fp16-representable (legacy formats
+        # store fp16 d/m on disk), keep the fp16 BIT PATTERN in an int16
+        # plane — half the scale bytes; the kernel decodes with integer ops
+        # (Mosaic rejects f16 arrays). Otherwise (K-quant d*sc products) f32.
         s2 = s.reshape(O, K // g).astype(np.float32)
         if kp != K:
             s2 = np.pad(s2, ((0, 0), (0, (kp - K) // g)))
-        return np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O)
+        out = np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O)
+        f16 = out.astype(np.float16)
+        if np.array_equal(f16.astype(np.float32), out):
+            return f16.view(np.int16)
+        return out
 
     out["ds"] = chunk_scales(ds)
     if spec.has_min:
         assert ms is not None
         # Q4_1/Q5_1 store m (added); kernel computes q*ds - ms, so negate
-        sign = -1.0 if gtype in (GGMLType.Q4_1, GGMLType.Q5_1) else 1.0
-        out["ms"] = chunk_scales(ms) * np.float32(sign)
+        # BEFORE packing (chunk_scales may return fp16 bit patterns)
+        sign = np.float32(-1.0 if gtype in (GGMLType.Q4_1, GGMLType.Q5_1) else 1.0)
+        out["ms"] = chunk_scales(np.asarray(ms, np.float32) * sign)
     # offset-only formats apply the integer offset in-kernel (one i32 add)
     # instead of carrying a second scale plane — decode is HBM-bound and the
     # extra plane costs a full bit/weight on Q4_0

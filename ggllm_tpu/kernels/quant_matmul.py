@@ -60,11 +60,26 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             unp = unp << shift
         q = unp if q is None else q + unp
 
+    def scales(ref):
+        v = ref[0]
+        if v.dtype != jnp.int16:
+            return v
+        # fp16 bit pattern stored as int16 (Mosaic has no f16): exact decode
+        # via integer ops + bitcast; subnormals handled separately
+        vi = v.astype(jnp.int32) & 0xFFFF
+        sign = (vi >> 15) & 1
+        exp = (vi >> 10) & 0x1F
+        man = vi & 0x3FF
+        bits = (sign << 31) | ((exp + 112) << 23) | (man << 13)
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        sub = man.astype(jnp.float32) * jnp.float32(5.9604645e-8)
+        return jnp.where(exp == 0, jnp.where(sign == 1, -sub, sub), f)
+
     if spec.offset:  # offset-only formats: integer add, no min plane
         q = q + jnp.int32(spec.offset)
-    w = q.astype(jnp.float32) * jnp.repeat(ds_ref[0], spec.group, axis=0)
+    w = q.astype(jnp.float32) * jnp.repeat(scales(ds_ref), spec.group, axis=0)
     if ms_ref is not None:
-        w = w - jnp.repeat(ms_ref[0], spec.group, axis=0)
+        w = w - jnp.repeat(scales(ms_ref), spec.group, axis=0)
     acc = jax.lax.dot_general(
         x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

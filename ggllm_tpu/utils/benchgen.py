@@ -43,11 +43,12 @@ def random_quant_tensor(gtype: GGMLType, out: int, cols: int, scale=0.02) -> Qua
                 TYPE_TRAITS[gtype].name
             )
             shp = (out, nb) if groups is None else (out, nb, groups)
-            planes[key] = np.full(shp, scale / 8, dtype=np.float32)
+            # fp16-exact value, like real file scales (fp16 on disk)
+            planes[key] = np.full(shp, np.float16(scale / 8), dtype=np.float32)
         elif key in ("m", "ml"):
             prev = planes.get("dl")
             shp = (out, nb) if prev is None or prev.ndim == 2 else prev.shape
-            planes[key] = np.full(shp, scale / 16, dtype=np.float32)
+            planes[key] = np.full(shp, np.float16(scale / 16), dtype=np.float32)
         elif key == "qh" and gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
             planes[key] = _rng.integers(0, 2**32, (out, nb), dtype=np.uint32)
         elif key == "qs" and gtype == GGMLType.Q8_0:
