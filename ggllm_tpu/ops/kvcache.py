@@ -58,14 +58,15 @@ def write(kv_cache, kv_new, n_past):
 def write_layer(kv, kv_new, l: int, n_past):
     """Append kv_new into layer l of the stacked cache (minimal writes)."""
     is_q = isinstance(kv, tuple)
-    new_tree = quantize_new(kv_new) if is_q else kv_new
-    new_tree = jax.tree.map(lambda n: n[None], new_tree)
+    new_tree = quantize_new(kv_new) if is_q else kv_new  # (2,B,S,KV,D) leaves
     n_past = jnp.asarray(n_past, jnp.int32)
     if n_past.ndim == 0:
-        return _dus(kv, new_tree, (l, 0, 0, n_past, 0, 0))
+        return _dus(kv, jax.tree.map(lambda n: n[None], new_tree),
+                    (l, 0, 0, n_past, 0, 0))
 
-    def upd(row, new, start):
-        return _dus(row, new, (l, 0, start, 0, 0))
+    def upd(row, new, start):  # row (L,2,T,KV,D), new (2,S,KV,D)
+        return _dus(row, jax.tree.map(lambda n: n[None], new),
+                    (l, 0, start, 0, 0))
 
     return jax.vmap(upd, in_axes=(2, 1, 0), out_axes=2)(kv, new_tree, n_past)
 

@@ -87,3 +87,18 @@ def test_slot_reuse_more_requests_than_rows(model):
     cb.run()
     for req, expected in zip(reqs, ref):
         assert req.out == expected
+
+
+def test_batched_decode_unrolled_kernel_layout(model):
+    """Per-row KV writes through the UNROLLED layer path (kernel layout) —
+    the combination the TPU batcher uses (regression: write_layer's vmapped
+    branch once expanded dims before the vmap and hit the k/v axis)."""
+    cfg = EngineConfig(n_ctx=96, n_batch=16, kv_dtype="float32",
+                       compute_dtype="float32", kernel_layout=True)
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg, batch_size=3)
+    cb = ContinuousBatcher(eng, chunk=8)
+    reqs = [cb.submit(Request(p, n_predict=10)) for p in PROMPTS[:4]]
+    cb.run()
+    ref = _sequential_reference(model, PROMPTS[:4], 10)
+    for req, expected in zip(reqs, ref):
+        assert req.out == expected
