@@ -30,7 +30,8 @@ def save(path: str, engine, tokens: list[int]) -> None:
         n_ctx=engine.cfg.n_ctx,
         n_past=engine.n_past,
         tokens=np.asarray(tokens, dtype=np.int32),
-        # int8 caches persist dequantized; restore re-quantizes via astype
+        # int8 caches persist dequantized; try_load re-quantizes them
+        # through kvcache.quantize_new
         kv=np.asarray(_dense_kv(engine)).astype(np.float32),
     )
 

@@ -353,7 +353,9 @@ def load_params(
         lora = lora_mod.read_lora(lora)
     if mf.arch == "llama":
         if mesh is not None:
-            tp_params = _try_load_llama_tp(mf, cfg, mesh, lora, dtype)
+            tp_params = None
+            if cfg.kernel_layout is not False:
+                tp_params = _try_load_llama_tp(mf, cfg, mesh, lora, dtype)
             if tp_params is None:
                 raise NotImplementedError(
                     "multi-chip LLaMA needs the TP plan (uniform quant type, "

@@ -128,35 +128,6 @@ def _attention(
     return out.reshape(B, S, H, D).astype(q.dtype)
 
 
-def _kv_write(kv_cache: jnp.ndarray, kv_new: jnp.ndarray, n_past) -> jnp.ndarray:
-    """Append kv_new (2,B,S,KV,D) into the per-layer cache (2,B,T,KV,D) at
-    each row's own offset (scalar n_past = same offset for all rows)."""
-    kv_new = kv_new.astype(kv_cache.dtype)
-    n_past = jnp.asarray(n_past, jnp.int32)
-    if n_past.ndim == 0:
-        return jax.lax.dynamic_update_slice(kv_cache, kv_new, (0, 0, n_past, 0, 0))
-
-    def upd(row, new, start):  # (2,T,KV,D), (2,S,KV,D), scalar
-        return jax.lax.dynamic_update_slice(row, new, (0, start, 0, 0))
-
-    return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(kv_cache, kv_new, n_past)
-
-
-def _kv_write_layer(kv: jnp.ndarray, kv_new: jnp.ndarray, l: int, n_past) -> jnp.ndarray:
-    """Append kv_new (2,B,S,KV,D) into layer l of the stacked cache
-    (L,2,B,T,KV,D) at per-row offsets, writing only the new positions."""
-    kv_new = kv_new.astype(kv.dtype)
-    n_past = jnp.asarray(n_past, jnp.int32)
-    if n_past.ndim == 0:
-        return jax.lax.dynamic_update_slice(
-            kv, kv_new[None], (l, 0, 0, n_past, 0, 0))
-
-    def upd(row, new, start):  # (L,2,T,KV,D), (2,S,KV,D), scalar
-        return jax.lax.dynamic_update_slice(row, new[None], (l, 0, start, 0, 0))
-
-    return jax.vmap(upd, in_axes=(2, 1, 0), out_axes=2)(kv, kv_new, n_past)
-
-
 def _project_merged(x_ln: jnp.ndarray, lw: dict, st: FalconStatic):
     """Merged wqkvu path -> (qkv (B,S,(H+2KV)*D), ff (B,S,F))."""
     n_qkv = (st.n_head + 2 * st.n_head_kv) * st.head_dim

@@ -83,7 +83,17 @@ class TpPlan:
 def _stack_kq(parts: list[klayout.KernelQuant]) -> klayout.KernelQuant:
     """Per-device KernelQuants -> one with a leading device axis; the aux
     shape/ck stay LOCAL so stripping the axis restores a valid local view."""
-    planes = {k: np.stack([p.planes[k] for p in parts]) for k in parts[0].planes}
+    planes = {}
+    for k in parts[0].planes:
+        arrs = [p.planes[k] for p in parts]
+        # scale planes choose int16 (fp16 bits) vs f32 per shard; np.stack
+        # would silently promote a mixed set and corrupt the bit patterns —
+        # decode any int16 shards back to f32 when mixed
+        dtypes = {a.dtype for a in arrs}
+        if len(dtypes) > 1 and np.dtype(np.int16) in dtypes:
+            arrs = [a.view(np.float16).astype(np.float32)
+                    if a.dtype == np.int16 else a for a in arrs]
+        planes[k] = np.stack(arrs)
     return klayout.KernelQuant(parts[0].gtype, parts[0].shape, parts[0].ck, planes)
 
 

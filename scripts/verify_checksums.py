@@ -18,7 +18,10 @@ def sha256(path: Path) -> str:
 
 
 def main(argv):
-    if argv and argv[0] == "--write":
+    if not argv:
+        print(__doc__.strip())
+        return 2
+    if argv[0] == "--write":
         out = Path(argv[1])
         with open(out, "w") as f:
             for p in argv[2:]:
@@ -38,7 +41,7 @@ def main(argv):
             ok = False
             continue
         actual = sha256(path)
-        status = "OK" if actual == digest else "FAILED"
+        status = "OK" if actual == digest.lower() else "FAILED"
         ok = ok and status == "OK"
         print(f"{status:7s}  {name}")
     return 0 if ok else 1
