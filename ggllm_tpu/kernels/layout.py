@@ -40,19 +40,31 @@ class FormatSpec:
     offset: float  # added to q before scaling
     group: int  # columns sharing one scale
     has_min: bool  # w = q*ds - ms (True) vs w = (q+offset)*ds (False)
+    # scale storage: flat = per-group values ("ds"[, "ms"], fp16 bits or
+    # f32); two_level = fp16-bit super-block d(+dmin) per 256 cols combined
+    # in-kernel with small integer sub-scales — K-quants cost ~0.6 bits/w
+    # of scales instead of 2-4
+    scale_names: tuple[str, ...] = ("ds",)
+    two_level: bool = False
+    packed_scb: bool = False  # Q2_K: one byte packs 4-bit scale | 4-bit min
 
 
 FORMATS: dict[GGMLType, FormatSpec] = {
     GGMLType.Q4_0: FormatSpec((("q", 4, 0),), -8.0, 32, False),
-    GGMLType.Q4_1: FormatSpec((("q", 4, 0),), 0.0, 32, True),
+    GGMLType.Q4_1: FormatSpec((("q", 4, 0),), 0.0, 32, True, ("ds", "ms")),
     GGMLType.Q5_0: FormatSpec((("q", 4, 0), ("h", 1, 4)), -16.0, 32, False),
-    GGMLType.Q5_1: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True),
+    GGMLType.Q5_1: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True, ("ds", "ms")),
     GGMLType.Q8_0: FormatSpec((("q", 8, 0),), 0.0, 32, False),
-    GGMLType.Q2_K: FormatSpec((("q", 2, 0),), 0.0, 16, True),
-    GGMLType.Q3_K: FormatSpec((("q", 2, 0), ("h", 1, 2)), -4.0, 16, False),
-    GGMLType.Q4_K: FormatSpec((("q", 4, 0),), 0.0, 32, True),
-    GGMLType.Q5_K: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True),
-    GGMLType.Q6_K: FormatSpec((("q", 4, 0), ("h", 2, 4)), -32.0, 16, False),
+    GGMLType.Q2_K: FormatSpec((("q", 2, 0),), 0.0, 16, True,
+                              ("db", "dminb", "scb"), True, True),
+    GGMLType.Q3_K: FormatSpec((("q", 2, 0), ("h", 1, 2)), -4.0, 16, False,
+                              ("db", "sc"), True),
+    GGMLType.Q4_K: FormatSpec((("q", 4, 0),), 0.0, 32, True,
+                              ("db", "dminb", "sc", "scm"), True),
+    GGMLType.Q5_K: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True,
+                              ("db", "dminb", "sc", "scm"), True),
+    GGMLType.Q6_K: FormatSpec((("q", 4, 0), ("h", 2, 4)), -32.0, 16, False,
+                              ("db", "sc"), True),
 }
 
 # VMEM sizing: contraction chunk cap (i32 intermediates dominate)
@@ -85,13 +97,14 @@ class KernelQuant:
         return cls(gtype, shape, ck, dict(zip(keys, children)))
 
 
-def choose_ck(K: int) -> int:
-    """Largest chunk ≤ CK_MAX that is either K itself or a 128-multiple
-    divisor of K (Pallas lane-blocking constraint on the x operand)."""
+def choose_ck(K: int, step: int = 128) -> int:
+    """Largest chunk ≤ CK_MAX that is either K itself or a step-multiple
+    divisor of K (Pallas lane-blocking constraint on the x operand; step=256
+    for two-level K-quant scales so super-blocks never straddle chunks)."""
     if K <= CK_MAX:
         return K
     best = 0
-    for m in range(128, CK_MAX + 1, 128):
+    for m in range(step, CK_MAX + 1, step):
         if K % m == 0:
             best = m
     if best == 0:
@@ -99,21 +112,21 @@ def choose_ck(K: int) -> int:
     return best
 
 
-def padded_k(K: int) -> int:
+def padded_k(K: int, step: int = 128) -> int:
     """Contraction dim padded (with zero blocks / zero scales) so the chunk
     grid gets a healthy size: Falcon's 71-flavored dims (18176 = 142*128)
     only divide into 256-wide chunks, but 18432 = 9*2048 does much better.
     The kernel zero-pads x to match, so results are unchanged."""
     if K <= CK_MAX:
-        return (K + 63) & ~63
+        return -(-K // max(step, 64)) * max(step, 64) if K % max(step, 64) else K
     lo = min(1024, CK_MAX)
-    k2 = (K + 127) & ~127
+    k2 = -(-K // step) * step
     while True:
-        best = max((m for m in range(lo, CK_MAX + 1, 128) if k2 % m == 0),
+        best = max((m for m in range(lo, CK_MAX + 1, step) if k2 % m == 0),
                    default=0)
         if best:
             return k2
-        k2 += 128
+        k2 += step
 
 
 def merge_out(parts: list[dict]) -> dict:
@@ -153,18 +166,21 @@ def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray,
         qs = p["qs"].reshape(O, -1, 2, 32)
         shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
         two = (qs[..., None, :] >> shifts[:, None]) & 3
-        return two.reshape(O, K).astype(np.int16), p["dl"], p["ml"]
+        return two.reshape(O, K).astype(np.int16), \
+            {"db": p["d"], "dminb": p["dmin"], "scb": p["scb"]}, None
     if gtype == GGMLType.Q3_K:
         qs = p["qs"].reshape(O, -1, 2, 32)
         shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
         two = ((qs[..., None, :] >> shifts[:, None]) & 3).reshape(O, K)
         hbits = np.arange(8, dtype=np.uint8)
         hm = ((p["hmask"][..., None, :] >> hbits[:, None]) & 1).reshape(O, K)
-        return (two | (hm << 2)).astype(np.int16), p["dl"], None
+        return (two | (hm << 2)).astype(np.int16), \
+            {"db": p["d"], "sc": p["sc"]}, None
     if gtype == GGMLType.Q4_K:
         qs = p["qs"].reshape(O, -1, 4, 32)
         codes = np.concatenate([qs & 0xF, qs >> 4], axis=-1).reshape(O, K)
-        return codes.astype(np.int16), p["dl"], p["ml"]
+        return codes.astype(np.int16), \
+            {"db": p["d"], "dminb": p["dmin"], "sc": p["sc"], "scm": p["scm"]}, None
     if gtype == GGMLType.Q5_K:
         qs = p["qs"].reshape(O, -1, 4, 32)
         hbits = np.arange(8, dtype=np.uint8)
@@ -172,7 +188,8 @@ def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray,
         lo = (qs & 0xF) | (hb[..., 0::2, :] << 4)
         hi = (qs >> 4) | (hb[..., 1::2, :] << 4)
         codes = np.concatenate([lo, hi], axis=-1).reshape(O, K)
-        return codes.astype(np.int16), p["dl"], p["ml"]
+        return codes.astype(np.int16), \
+            {"db": p["d"], "dminb": p["dmin"], "sc": p["sc"], "scm": p["scm"]}, None
     if gtype == GGMLType.Q6_K:
         ql = p["ql"].reshape(O, -1, 2, 2, 32)
         qh = p["qh"].reshape(O, -1, 2, 32)
@@ -183,7 +200,7 @@ def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray,
         q3 = (ql[..., 0, :] >> 4) | (h[..., 2, :] << 4)
         q4 = (ql[..., 1, :] >> 4) | (h[..., 3, :] << 4)
         codes = np.stack([q1, q2, q3, q4], axis=-2).reshape(O, K)
-        return codes.astype(np.int16), p["dl"], None
+        return codes.astype(np.int16), {"db": p["d"], "sc": p["sc"]}, None
     raise NotImplementedError(f"extract_codes: {gtype}")
 
 
@@ -207,8 +224,9 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
     match (zero codes x zero scales contribute nothing)."""
     O, K = shape
     spec = FORMATS[gtype]
-    kp = padded_k(K)
-    ck = choose_ck(kp)
+    step = 256 if spec.two_level else 128  # super-blocks can't straddle chunks
+    kp = padded_k(K, step)
+    ck = choose_ck(kp, step)
     assert kp % ck == 0 and ck % max(spec.group, 8) == 0, (gtype, K, kp, ck)
     codes, ds, ms = extract_codes(gtype, planes, O, K)
     if kp != K:
@@ -240,6 +258,21 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
         if np.array_equal(f16.astype(np.float32), out):
             return f16.view(np.int16)
         return out
+
+    def chunk_int(s: np.ndarray, g: int) -> np.ndarray:
+        # (O, nb[, sub]) integer sub-scales / fp16-bit d -> (n_k, ck//g, O)
+        s2 = s.reshape(O, K // g)
+        if kp != K:
+            s2 = np.pad(s2, ((0, 0), (0, (kp - K) // g)))
+        return np.ascontiguousarray(s2.T).reshape(n_k, ck // g, O)
+
+    if spec.two_level:
+        # fp16-bit super-block scales (per 256) + integer sub-scales — the
+        # kernel forms d*sc in f32, exactly the reference's effective scale
+        for name, arr in ds.items():
+            g = 256 if name in ("db", "dminb") else spec.group
+            out[name] = chunk_int(np.asarray(arr), g)
+        return KernelQuant(gtype, (O, K), ck, out)
 
     out["ds"] = chunk_scales(ds)
     if spec.has_min:

@@ -35,11 +35,11 @@ def _block_o(ck: int, O: int) -> int:
 
 
 def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
-    # refs: x, code planes..., ds, [ms], out
+    # refs: x, code planes..., scale planes (spec.scale_names order), out
     x_ref = refs[0]
     code_refs = refs[1 : 1 + n_code]
-    ds_ref = refs[1 + n_code]
-    ms_ref = refs[2 + n_code] if has_ms else None
+    sc_refs = dict(zip(spec.scale_names,
+                       refs[1 + n_code : 1 + n_code + len(spec.scale_names)]))
     o_ref = refs[-1]
     c = pl.program_id(2)
 
@@ -60,10 +60,7 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             unp = unp << shift
         q = unp if q is None else q + unp
 
-    def scales(ref):
-        v = ref[0]
-        if v.dtype != jnp.int16:
-            return v
+    def f16dec(v):
         # fp16 bit pattern stored as int16 (Mosaic has no f16): exact decode
         # via integer ops + bitcast; subnormals handled separately
         vi = v.astype(jnp.int32) & 0xFFFF
@@ -75,11 +72,36 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
         sub = man.astype(jnp.float32) * jnp.float32(5.9604645e-8)
         return jnp.where(exp == 0, jnp.where(sign == 1, -sub, sub), f)
 
+    def scales(ref):
+        v = ref[0]
+        return f16dec(v) if v.dtype == jnp.int16 else v
+
     if spec.offset:  # offset-only formats: integer add, no min plane
         q = q + jnp.int32(spec.offset)
-    w = q.astype(jnp.float32) * jnp.repeat(scales(ds_ref), spec.group, axis=0)
-    if ms_ref is not None:
-        w = w - jnp.repeat(scales(ms_ref), spec.group, axis=0)
+
+    if spec.two_level:
+        # super-block fp16 d (per 256) x integer sub-scales (per group):
+        # the f32 product is exactly the reference's effective scale
+        rep = 256 // spec.group
+        d = jnp.repeat(f16dec(sc_refs["db"][0]), rep, axis=0)  # (ck/g, bo)
+        if spec.packed_scb:  # Q2_K: scale|min nibbles in one byte
+            scb = sc_refs["scb"][0].astype(jnp.int32)
+            ds_g = d * (scb & 0xF).astype(jnp.float32)
+            dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
+            ms_g = dmin * (scb >> 4).astype(jnp.float32)
+        else:
+            ds_g = d * sc_refs["sc"][0].astype(jnp.float32)
+            ms_g = None
+            if spec.has_min:
+                dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
+                ms_g = dmin * sc_refs["scm"][0].astype(jnp.float32)
+        w = q.astype(jnp.float32) * jnp.repeat(ds_g, spec.group, axis=0)
+        if ms_g is not None:
+            w = w - jnp.repeat(ms_g, spec.group, axis=0)
+    else:
+        w = q.astype(jnp.float32) * jnp.repeat(scales(sc_refs["ds"]), spec.group, axis=0)
+        if has_ms:
+            w = w - jnp.repeat(scales(sc_refs["ms"]), spec.group, axis=0)
     acc = jax.lax.dot_general(
         x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -95,7 +117,7 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     assert kq.shape[1] == K, (kq.shape, x.shape)
     spec = FORMATS[kq.gtype]
     ck = kq.ck
-    n_k = kq.planes["ds"].shape[0]
+    n_k = kq.planes[spec.scale_names[0]].shape[0]
     kp = n_k * ck  # padded contraction dim (kernels/layout.py padded_k)
     if kp != K:
         x = jnp.pad(x, ((0, 0), (0, kp - K)))
@@ -105,7 +127,7 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     w_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
     code_planes = [kq.planes[name] for name, _, _ in spec.planes]
-    scale_planes = [kq.planes["ds"]] + ([kq.planes["ms"]] if has_ms else [])
+    scale_planes = [kq.planes[n] for n in spec.scale_names if n in kq.planes]
 
     in_specs = [pl.BlockSpec((bs, ck), lambda s, i, c: (s, c),
                              memory_space=pltpu.VMEM)]

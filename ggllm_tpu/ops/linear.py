@@ -22,11 +22,11 @@ _PLANE_ORDER = {
     GGMLType.Q5_0: ("d", "qh", "qs"),
     GGMLType.Q5_1: ("d", "m", "qh", "qs"),
     GGMLType.Q8_0: ("d", "qs"),
-    GGMLType.Q2_K: ("qs", "dl", "ml"),
-    GGMLType.Q3_K: ("hmask", "qs", "dl"),
-    GGMLType.Q4_K: ("qs", "dl", "ml"),
-    GGMLType.Q5_K: ("qh", "qs", "dl", "ml"),
-    GGMLType.Q6_K: ("ql", "qh", "dl"),
+    GGMLType.Q2_K: ("qs", "d", "dmin", "scb"),
+    GGMLType.Q3_K: ("hmask", "qs", "d", "sc"),
+    GGMLType.Q4_K: ("qs", "d", "dmin", "sc", "scm"),
+    GGMLType.Q5_K: ("qh", "qs", "d", "dmin", "sc", "scm"),
+    GGMLType.Q6_K: ("ql", "qh", "d", "sc"),
 }
 
 
@@ -59,6 +59,11 @@ def _nib(qs):
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def _f16bits(v):
+    """int16 fp16 bit patterns -> f32 (K-quant super-block scales)."""
+    return jax.lax.bitcast_convert_type(v, jnp.float16).astype(jnp.float32)
+
+
 def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> jnp.ndarray:
     """XLA dequantize from planes to a dense (out, in) array."""
     out, cols = shape
@@ -84,7 +89,9 @@ def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> j
         two = (qs[..., None, :] >> shifts[:, None]) & 3  # (out, nb, 2, 4, 32)
         two = two.reshape(out, -1, 256).astype(jnp.float32)
         g = jnp.repeat(jnp.arange(16), 16)  # element -> subgroup of 16
-        w = two * p["dl"][..., g] - p["ml"][..., g]
+        dl = _f16bits(p["d"])[..., None] * (p["scb"] & 0xF).astype(jnp.float32)
+        ml = _f16bits(p["dmin"])[..., None] * (p["scb"] >> 4).astype(jnp.float32)
+        w = two * dl[..., g] - ml[..., g]
     elif gtype == GGMLType.Q3_K:
         qs = p["qs"].reshape(out, -1, 2, 32)
         shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
@@ -93,12 +100,15 @@ def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> j
         hm = ((p["hmask"][..., None, :] >> hbits[:, None]) & 1).reshape(out, -1, 256)
         q = two.astype(jnp.float32) + 4.0 * hm.astype(jnp.float32) - 4.0
         g = jnp.repeat(jnp.arange(16), 16)
-        w = q * p["dl"][..., g]
+        dl = _f16bits(p["d"])[..., None] * p["sc"].astype(jnp.float32)
+        w = q * dl[..., g]
     elif gtype == GGMLType.Q4_K:
         qs = p["qs"].reshape(out, -1, 4, 32)  # 4 chunks of 64 elements
         q = jnp.concatenate([qs & 0xF, qs >> 4], axis=-1).reshape(out, -1, 256)
         g = jnp.repeat(jnp.arange(8), 32)
-        w = q.astype(jnp.float32) * p["dl"][..., g] - p["ml"][..., g]
+        dl = _f16bits(p["d"])[..., None] * p["sc"].astype(jnp.float32)
+        ml = _f16bits(p["dmin"])[..., None] * p["scm"].astype(jnp.float32)
+        w = q.astype(jnp.float32) * dl[..., g] - ml[..., g]
     elif gtype == GGMLType.Q5_K:
         qs = p["qs"].reshape(out, -1, 4, 32)
         hbits = jnp.arange(8, dtype=jnp.uint8)
@@ -108,7 +118,9 @@ def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> j
         hi = (qs >> 4) | (hb[..., 1::2, :] << 4)
         q = jnp.concatenate([lo, hi], axis=-1).reshape(out, -1, 256)
         g = jnp.repeat(jnp.arange(8), 32)
-        w = q.astype(jnp.float32) * p["dl"][..., g] - p["ml"][..., g]
+        dl = _f16bits(p["d"])[..., None] * p["sc"].astype(jnp.float32)
+        ml = _f16bits(p["dmin"])[..., None] * p["scm"].astype(jnp.float32)
+        w = q.astype(jnp.float32) * dl[..., g] - ml[..., g]
     elif gtype == GGMLType.Q6_K:
         ql = p["ql"].reshape(out, -1, 2, 2, 32)  # (out, nb, half, lo/hi byte-strip, 32)
         qh = p["qh"].reshape(out, -1, 2, 32)
@@ -121,7 +133,8 @@ def dequant_jnp(gtype: GGMLType, p: dict, shape: tuple, dtype=jnp.bfloat16) -> j
         q4 = (ql[..., 1, :] >> 4) | (h[..., 3, :] << 4)
         q = jnp.stack([q1, q2, q3, q4], axis=-2).reshape(out, -1, 256)
         g = jnp.repeat(jnp.arange(16), 16)
-        w = (q.astype(jnp.float32) - 32.0) * p["dl"][..., g]
+        dl = _f16bits(p["d"])[..., None] * p["sc"].astype(jnp.float32)
+        w = (q.astype(jnp.float32) - 32.0) * dl[..., g]
     else:
         raise NotImplementedError(f"dequant_jnp: {gtype}")
     return w.reshape(out, cols).astype(dtype)

@@ -5,11 +5,12 @@ streaming, bad for TPU vectorization). At load time each quantized 2-D weight
 is split into a few contiguous planes — packed integer codes plus float scale
 planes — so Pallas kernels and XLA dequant read dense, tile-aligned arrays.
 
-Scale hierarchies of the K-quants are flattened at load: the 4/6-bit packed
-sub-block scales are decoded once on host into per-subgroup effective scales
-(d * sc, dmin * m), which is exact in float32 (products of fp16 values).
-This trades ~0.1-0.25 bits/weight of HBM for removing all scale unpacking
-from the hot kernels.
+K-quant scale hierarchies stay TWO-LEVEL: the fp16 super-block scales are
+kept as raw bit patterns ("d"/"dmin" int16 planes) and the packed 4/6-bit
+sub-scales are decoded once on host to small integer planes ("sc"/"scm").
+Consumers form the exact effective scale d * sc in f32 on the fly — the
+same value the reference computes — at ~0.6 bits/weight instead of the
+2-4 bits/weight that flattened f32 products would cost in HBM.
 
 Plane shapes use `rows` = output features, `nb` = blocks along the input
 (contraction) axis, matching the ggml row layout (a row is one output
@@ -65,51 +66,44 @@ def to_planes(gtype: GGMLType, blob: np.ndarray, rows: int, cols: int) -> dict[s
             "qs": b[:, :, 2:34].copy().view(np.int8),
         }
     if gtype == GGMLType.Q2_K:
-        sc = b[:, :, 0:16]
-        d = b[:, :, 80:82].copy().view(np.float16)[..., 0].astype(np.float32)
-        dmin = b[:, :, 82:84].copy().view(np.float16)[..., 0].astype(np.float32)
         return {
             "qs": b[:, :, 16:80].copy(),
-            "dl": d[..., None] * (sc & 0xF).astype(np.float32),
-            "ml": dmin[..., None] * (sc >> 4).astype(np.float32),
+            "d": b[:, :, 80:82].copy().view(np.int16)[..., 0],
+            "dmin": b[:, :, 82:84].copy().view(np.int16)[..., 0],
+            "scb": b[:, :, 0:16].copy(),  # packed 4-bit scale | 4-bit min
         }
     if gtype == GGMLType.Q3_K:
-        d = b[:, :, 108:110].copy().view(np.float16)[..., 0].astype(np.float32)
         sc = _q3k_decode_scales(b[:, :, 96:108].reshape(-1, 12)).reshape(rows, nb, 16)
         return {
             "hmask": b[:, :, 0:32].copy(),
             "qs": b[:, :, 32:96].copy(),
-            "dl": d[..., None] * sc.astype(np.float32),
+            "d": b[:, :, 108:110].copy().view(np.int16)[..., 0],
+            "sc": sc.astype(np.int8),  # 6-bit signed (bias-32 applied)
         }
     if gtype == GGMLType.Q4_K:
-        d = b[:, :, 0:2].copy().view(np.float16)[..., 0].astype(np.float32)
-        dmin = b[:, :, 2:4].copy().view(np.float16)[..., 0].astype(np.float32)
         sd, sm = _unpack_scales_k4(b[:, :, 4:16].reshape(-1, 12))
-        sd = sd.reshape(rows, nb, 8)
-        sm = sm.reshape(rows, nb, 8)
         return {
             "qs": b[:, :, 16:144].copy(),
-            "dl": d[..., None] * sd.astype(np.float32),
-            "ml": dmin[..., None] * sm.astype(np.float32),
+            "d": b[:, :, 0:2].copy().view(np.int16)[..., 0],
+            "dmin": b[:, :, 2:4].copy().view(np.int16)[..., 0],
+            "sc": sd.reshape(rows, nb, 8).astype(np.int8),  # 6-bit
+            "scm": sm.reshape(rows, nb, 8).astype(np.int8),
         }
     if gtype == GGMLType.Q5_K:
-        d = b[:, :, 0:2].copy().view(np.float16)[..., 0].astype(np.float32)
-        dmin = b[:, :, 2:4].copy().view(np.float16)[..., 0].astype(np.float32)
         sd, sm = _unpack_scales_k4(b[:, :, 4:16].reshape(-1, 12))
-        sd = sd.reshape(rows, nb, 8)
-        sm = sm.reshape(rows, nb, 8)
         return {
             "qh": b[:, :, 16:48].copy(),
             "qs": b[:, :, 48:176].copy(),
-            "dl": d[..., None] * sd.astype(np.float32),
-            "ml": dmin[..., None] * sm.astype(np.float32),
+            "d": b[:, :, 0:2].copy().view(np.int16)[..., 0],
+            "dmin": b[:, :, 2:4].copy().view(np.int16)[..., 0],
+            "sc": sd.reshape(rows, nb, 8).astype(np.int8),
+            "scm": sm.reshape(rows, nb, 8).astype(np.int8),
         }
     if gtype == GGMLType.Q6_K:
-        d = b[:, :, 208:210].copy().view(np.float16)[..., 0].astype(np.float32)
-        sc = b[:, :, 192:208].copy().view(np.int8)
         return {
             "ql": b[:, :, 0:128].copy(),
             "qh": b[:, :, 128:192].copy(),
-            "dl": d[..., None] * sc.astype(np.float32),
+            "d": b[:, :, 208:210].copy().view(np.int16)[..., 0],
+            "sc": b[:, :, 192:208].copy().view(np.int8),  # int8 per 16
         }
     raise NotImplementedError(f"no planar layout for {gtype}")

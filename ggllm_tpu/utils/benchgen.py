@@ -36,19 +36,24 @@ def random_quant_tensor(gtype: GGMLType, out: int, cols: int, scale=0.02) -> Qua
         "(the reference has the same constraint: K-quants need QK_K-divisible "
         "dims, libfalcon.cpp:3626-3635 — Falcon-7B uses legacy formats)")
     nb = cols // bs
+    kq = TYPE_TRAITS[gtype].name.endswith("K")
+    sub_groups = {"q2_K": 16, "q3_K": 16, "q6_K": 16, "q4_K": 8, "q5_K": 8}.get(
+        TYPE_TRAITS[gtype].name)
     planes: dict[str, np.ndarray] = {}
     for key in _PLANE_ORDER[gtype]:
-        if key in ("d", "dl"):
-            groups = {"q2_K": 16, "q3_K": 16, "q6_K": 16, "q4_K": 8, "q5_K": 8}.get(
-                TYPE_TRAITS[gtype].name
-            )
-            shp = (out, nb) if groups is None else (out, nb, groups)
+        if key in ("d", "dmin") and kq:
+            # fp16 bit patterns (two-level K-quant super-block scales)
+            planes[key] = np.full((out, nb), np.float16(scale / 8).view(np.int16),
+                                  dtype=np.int16)
+        elif key == "d":
             # fp16-exact value, like real file scales (fp16 on disk)
-            planes[key] = np.full(shp, np.float16(scale / 8), dtype=np.float32)
-        elif key in ("m", "ml"):
-            prev = planes.get("dl")
-            shp = (out, nb) if prev is None or prev.ndim == 2 else prev.shape
-            planes[key] = np.full(shp, np.float16(scale / 16), dtype=np.float32)
+            planes[key] = np.full((out, nb), np.float16(scale / 8), dtype=np.float32)
+        elif key == "m":
+            planes[key] = np.full((out, nb), np.float16(scale / 16), dtype=np.float32)
+        elif key in ("sc", "scm"):
+            planes[key] = _rng.integers(1, 32, (out, nb, sub_groups), dtype=np.int8)
+        elif key == "scb":
+            planes[key] = _rng.integers(0, 256, (out, nb, 16), dtype=np.uint8)
         elif key == "qh" and gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
             planes[key] = _rng.integers(0, 2**32, (out, nb), dtype=np.uint32)
         elif key == "qs" and gtype == GGMLType.Q8_0:
