@@ -98,7 +98,10 @@ class RopeConfig:
     """NTK-aware dynamic RoPE scaling knobs (ggml.h:1564-1567, ggml.c:12875-12898)."""
 
     freq_base: float = 10000.0
-    dynamic_ntk: bool = True  # falcon_eval enables dynamic mode by default
+    # None = auto: enabled for falcon (falcon_eval turns dynamic mode on by
+    # default, libfalcon.cpp:2229-2234), disabled for llama (the reference
+    # llama.cpp applies no NTK scaling to classic RoPE)
+    dynamic_ntk: bool | None = None
     # In dynamic mode this is the linear scale inside the alpha formula
     # (falcon_eval passes 2.0, libfalcon.cpp:2234); in static mode it is the
     # NTK alpha itself.

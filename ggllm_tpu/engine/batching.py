@@ -144,9 +144,9 @@ class ContinuousBatcher:
         self.last_tok[row] = 0
 
     def _decode_chunk(self):
-        # rows whose context would overflow park (their request ends)
+        # rows with a full context end now (no tokens left to produce)
         for row, req in enumerate(self.rows):
-            if req is not None and self.n_past[row] + self.chunk > self.eng.cfg.n_ctx:
+            if req is not None and self.n_past[row] >= self.eng.cfg.n_ctx:
                 req.done = True
                 self._free(row)
         if not self.active:
@@ -157,8 +157,14 @@ class ContinuousBatcher:
         for row, req in enumerate(self.rows):
             if req is None:
                 continue
+            # a row near the context limit still consumes the in-context
+            # tokens from this chunk (KV writes past n_ctx land in the
+            # scratch region and are ignored); positions beyond avail are
+            # out-of-context and discarded, matching single-stream generate's
+            # chunk clamp (engine.py)
+            avail = self.eng.cfg.n_ctx - int(self.n_past[row])
             consumed = 0
-            for j in range(self.chunk):
+            for j in range(min(self.chunk, avail)):
                 tok = int(toks[j, row])
                 consumed = j + 1
                 self._emit(req, tok)
@@ -168,5 +174,7 @@ class ContinuousBatcher:
             # forward passes behind them (consumed steps) are committed
             self.n_past[row] += consumed
             self.last_tok[row] = req.out[-1]
+            if avail <= self.chunk and consumed == avail:
+                req.done = True
             if req.done:
                 self._free(row)

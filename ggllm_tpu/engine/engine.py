@@ -46,9 +46,10 @@ def _bucket(n: int, n_batch: int) -> int:
     if n == 1:
         return 1  # decode step: dedicated (B, 1) program
     for b in PREFILL_BUCKETS:
-        if n <= b and b <= max(n_batch, 8):
+        if n <= b:
             return b
-    return min(n_batch, PREFILL_BUCKETS[-1])
+    raise ValueError(f"chunk of {n} tokens exceeds the largest prefill "
+                     f"bucket {PREFILL_BUCKETS[-1]}")
 
 
 @dataclass
@@ -109,7 +110,8 @@ class FalconEngine:
         self.kv_dtype = (self.cfg.kv_dtype if self.cfg.kv_dtype == "int8"
                          else jnp.dtype(self.cfg.kv_dtype))
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
-        self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx, hparams.head_dim)
+        self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx,
+                                    hparams.head_dim, arch=hparams.arch)
         self.mesh = mesh
         self._kv_sharding = None
         self.tp_plan = None
@@ -240,8 +242,9 @@ class FalconEngine:
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         out = []
         i = 0
+        step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
         while i < tokens.size:
-            chunk = tokens[i : i + self.cfg.n_batch]
+            chunk = tokens[i : i + step]
             out.append(self._eval_chunk(chunk, logits_all))
             i += chunk.size
         if logits_all:
@@ -280,24 +283,27 @@ class FalconEngine:
 
     # ------------------------------------------------------- fused decoding
 
-    def _decode_loop_fn(self, n_steps: int, temp: float, top_k: int, top_p: float):
-        """Jitted scan: n_steps of forward + on-device sampling, one dispatch."""
-        key = ("loop", n_steps, temp, top_k, top_p)
+    def _decode_loop_fn(self, n_steps: int, temp: float, top_k: int,
+                        top_p: float, pen_spec: tuple):
+        """Jitted scan: n_steps of forward + on-device sampling (penalties +
+        bias + top-k/top-p/temp cascade), one dispatch."""
+        key = ("loop", n_steps, temp, top_k, top_p, pen_spec)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
             tp = self.tp_plan is not None
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
+            L = max(int(pen_spec[1]), 1)  # penalty ring length
 
             B = self.batch
 
-            def loop_body(params, tok, kv, n_past, rng):
+            def loop_body(params, tok, kv, n_past, rng, ring, pos):
                 if tp:
                     params = self._tp_local_params(params)
 
                 def body(carry, _):
-                    tok, kv, n_past, rng = carry
+                    tok, kv, n_past, rng, ring, pos = carry
                     # single-stream generation: broadcast the token to every
                     # cache row (only row 0's logits are sampled)
                     toks_b = jnp.full((B, 1), tok, jnp.int32)
@@ -307,18 +313,21 @@ class FalconEngine:
                         unroll=True, psum_axis=psum_axis,
                     )
                     rng, sub = jax.random.split(rng)
+                    penalized = sampling_device.apply_penalties(
+                        logits[0, 0], ring, pen_spec)
                     nxt = sampling_device.sample_logits(
-                        logits[0, 0], sub, temp, top_k, top_p)
-                    return (nxt, kv, n_past + 1, rng), nxt
+                        penalized, sub, temp, top_k, top_p)
+                    ring = ring.at[pos % L].set(nxt)
+                    return (nxt, kv, n_past + 1, rng, ring, pos + 1), nxt
 
                 carry, toks = jax.lax.scan(
-                    body, (tok, kv, n_past, rng), length=n_steps)
-                _, kv, _, rng = carry
+                    body, (tok, kv, n_past, rng, ring, pos), length=n_steps)
+                _, kv, _, rng, _, _ = carry
                 return toks, kv, rng
 
             if tp:
                 loop = jax.jit(
-                    self._tp_wrap(loop_body, ("x", "kv", "x", "x"),
+                    self._tp_wrap(loop_body, ("x", "kv", "x", "x", "x", "x"),
                                   ("x", "kv", "x")),
                     donate_argnums=(2,))
             else:
@@ -328,21 +337,33 @@ class FalconEngine:
         return self._fwd[key]
 
     def decode_chunk(self, first_token: int, n_steps: int, sampler=None,
-                     rng_key=None):
+                     rng_key=None, last_tokens=None):
         """Run n_steps fused forward+sample steps starting from first_token
         (already sampled, not yet forwarded). Returns the n_steps sampled
-        successor ids; advances n_past by n_steps."""
+        successor ids; advances n_past by n_steps.
+
+        last_tokens: recent token history ENDING WITH first_token; seeds the
+        on-device penalty window (repeat/frequency/presence). Defaults to
+        just [first_token]."""
         sampler = sampler or sampling.SamplerParams(temp=0.0)
         assert self.n_past + n_steps <= self.cfg.n_ctx, "context overflow"
+        pen_spec = sampling_device.penalty_spec(sampler, self.hp.n_vocab)
         loop = self._decode_loop_fn(
-            n_steps, float(sampler.temp), int(sampler.top_k), float(sampler.top_p))
+            n_steps, float(sampler.temp), int(sampler.top_k),
+            float(sampler.top_p), pen_spec)
         if rng_key is None:
             seed = sampler.seed if sampler.seed >= 0 else 0
             rng_key = jax.random.PRNGKey(seed)
+        L = max(int(sampler.repeat_last_n), 1)
+        window = list(last_tokens) if last_tokens else [int(first_token)]
+        window = window[-min(L, self.cfg.n_ctx):]
+        ring = np.full(L, self.hp.n_vocab, dtype=np.int32)  # empty slots
+        ring[: len(window)] = window
         t0 = time.perf_counter()
         toks, kv, rng_key = loop(
             self.params, jnp.int32(first_token), self.kv,
-            jnp.int32(self.n_past), rng_key,
+            jnp.int32(self.n_past), rng_key, jnp.asarray(ring),
+            jnp.int32(len(window) % L),
         )
         toks = np.asarray(jax.device_get(toks))
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
@@ -358,8 +379,9 @@ class FalconEngine:
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         # evaluate all but the final chunk through the normal prefill path,
         # then one hidden-output forward for the tail
-        if tokens.size > self.cfg.n_batch:
-            head = tokens.size - self.cfg.n_batch
+        step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
+        if tokens.size > step:
+            head = tokens.size - step
             self.eval_tokens(tokens[:head])
             tokens = tokens[head:]
         key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
@@ -421,8 +443,9 @@ class FalconEngine:
         logits = None
         done = 0
         npv = np.asarray(n_past_vec, dtype=np.int32).copy()
+        step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
         while done < tokens.size:
-            chunk = tokens[done : done + self.cfg.n_batch]
+            chunk = tokens[done : done + step]
             pad = _bucket(chunk.size, self.cfg.n_batch)
             buf = np.zeros((self.batch, pad), dtype=np.int32)
             buf[row, : chunk.size] = chunk
@@ -558,7 +581,8 @@ class FalconEngine:
             if chunk <= 0:
                 break
             start = self.n_past
-            toks, rng = self.decode_chunk(out[-1], chunk, sampler, rng)
+            toks, rng = self.decode_chunk(out[-1], chunk, sampler, rng,
+                                          last_tokens=prompt_ids + out)
             self.timings.n_sample += chunk
             stopped = False
             for j, t in enumerate(map(int, toks)):

@@ -1,0 +1,130 @@
+"""Shared generation driver for the CLI and the server.
+
+Wraps a FalconEngine with the falcon_main generation-loop semantics
+(falcon_main.cpp:676-1056): host-sampled first token, fused multi-token
+device decode when the sampler config is device-coverable (engine
+decode_chunk), per-token host cascade otherwise, and context swap with
+n_keep on overflow (falcon_main.cpp:694-760).
+"""
+
+from __future__ import annotations
+
+import time
+
+from ggllm_tpu.engine.engine import DECODE_CHUNK, FalconEngine
+from ggllm_tpu.ops import sampling, sampling_device
+
+
+class Generator:
+    """One generation stream over an engine: fused decode when the sampler
+    allows, host cascade otherwise; context swap on overflow.
+
+    Invariant between calls: every token in all_tokens except those in
+    pending_feed has been forwarded through the model (is in the KV cache);
+    at a turn boundary pending_feed holds the final sampled token, which the
+    next turn's prefill (or the fused/host forward) consumes."""
+
+    def __init__(self, engine: FalconEngine, sampler: sampling.SamplerParams,
+                 eos_id: int, n_keep: int = 0, fused_ok: bool = True,
+                 log=None):
+        self.eng = engine
+        self.sampler = sampler
+        self.state = sampling.SamplerState.init(sampler)
+        self.eos_id = eos_id
+        self.n_keep = n_keep
+        self.fused = fused_ok and sampling_device.device_samplable(sampler)
+        self.rng = None
+        self.log = log or (lambda msg: None)
+        self.all_tokens: list[int] = []  # full prompt+generation history
+        self.pending_feed: list[int] = []  # sampled but not yet forwarded
+        self.swapped = False  # a context swap broke the tokens<->KV mapping
+
+    def prefill(self, ids: list[int]):
+        """Feed new tokens (plus any unforwarded tail); returns final logits."""
+        cfg = self.eng.cfg
+        feed = self.pending_feed + list(map(int, ids))
+        self.pending_feed = []
+        if len(feed) >= cfg.n_ctx:
+            # pathological: the new input alone overflows — keep its tail
+            feed = feed[-(cfg.n_ctx - 1):]
+            self.eng.reset()
+        elif self.eng.n_past + len(feed) > cfg.n_ctx:
+            self._swap(reserve=len(feed))
+        self.all_tokens.extend(map(int, ids))
+        return self.eng.eval(feed)
+
+    def _swap(self, reserve: int = 0):
+        """Context swap (falcon_main.cpp:694-760): keep the first n_keep
+        prompt tokens, re-ingest the most recent half of the remaining
+        window (leaving room for `reserve` upcoming tokens). Tokens in
+        pending_feed are NOT re-ingested — the caller's next forward
+        consumes them."""
+        cfg = self.eng.cfg
+        n_keep = min(max(self.n_keep, 0), cfg.n_ctx // 2)
+        tail_len = max((cfg.n_ctx - n_keep) // 2, 1)
+        if reserve:
+            tail_len = max(min(tail_len, cfg.n_ctx - n_keep - reserve), 0)
+        hist = self.all_tokens[: len(self.all_tokens) - len(self.pending_feed)]
+        head = hist[:n_keep]
+        tail = hist[len(head):][-tail_len:] if tail_len else []
+        self.eng.reset()
+        ctx = head + tail
+        if ctx:
+            self.eng.eval(ctx)
+        self.swapped = True
+        self.log(f"context swap: kept {len(head)}+{len(tail)} tokens")
+
+    def generate(self, logits, n_predict: int, on_token) -> str:
+        """Sample up to n_predict tokens; on_token(tok) -> False to stop.
+        Returns the stop reason ('limit' | 'eos' | 'callback')."""
+        eng, sampler = self.eng, self.sampler
+        n_out = 0
+        pending: list[int] = []
+
+        # first token after prefill is host-sampled from the prefill logits
+        # (exact cascade; the fused loop samples the successors on device)
+        t0 = time.perf_counter()
+        tok = sampling.sample(logits, self.all_tokens, sampler, self.state,
+                              eng.cfg.n_ctx)
+        eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
+        eng.timings.n_sample += 1
+        try:
+            while True:
+                self.all_tokens.append(tok)
+                n_out += 1
+                if tok == self.eos_id:
+                    return "eos"
+                if not on_token(tok):
+                    return "callback"
+                if n_out >= n_predict:
+                    return "limit"
+                # produce the next token
+                if pending:
+                    tok = pending.pop(0)
+                    continue
+                if eng.n_past >= eng.cfg.n_ctx:
+                    self.pending_feed = [self.all_tokens[-1]]
+                    self._swap()
+                    self.pending_feed = []
+                if self.fused:
+                    chunk = min(DECODE_CHUNK, n_predict - n_out,
+                                eng.cfg.n_ctx - eng.n_past)
+                    toks, self.rng = eng.decode_chunk(
+                        self.all_tokens[-1], chunk, sampler, self.rng,
+                        last_tokens=self.all_tokens)
+                    eng.timings.n_sample += chunk
+                    pending = list(map(int, toks))
+                    tok = pending.pop(0)
+                else:
+                    new_logits = eng.eval([self.all_tokens[-1]])
+                    t0 = time.perf_counter()
+                    tok = sampling.sample(new_logits, self.all_tokens, sampler,
+                                          self.state, eng.cfg.n_ctx)
+                    eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
+                    eng.timings.n_sample += 1
+        finally:
+            # un-commit KV positions of fused-decoded tokens never consumed;
+            # the final consumed token is always left unforwarded
+            if pending:
+                self.eng.rollback(self.eng.n_past - len(pending))
+            self.pending_feed = [self.all_tokens[-1]]

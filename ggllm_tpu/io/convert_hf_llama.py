@@ -56,12 +56,18 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         shift += 7
 
 
-def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float]]:
+# SentencePiece ModelProto piece types (sentencepiece_model.proto)
+SP_NORMAL, SP_UNKNOWN, SP_CONTROL, SP_USER_DEFINED, SP_UNUSED, SP_BYTE = 1, 2, 3, 4, 5, 6
+
+
+def parse_sentencepiece_model(
+        path: str | Path) -> tuple[list[bytes], list[float], list[int]]:
     """Minimal ModelProto reader: repeated field 1 = SentencePiece
-    { piece: string = 1, score: float = 2 }."""
+    { piece: string = 1, score: float = 2, type: enum = 3 }."""
     data = Path(path).read_bytes()
     pieces: list[bytes] = []
     scores: list[float] = []
+    types: list[int] = []
     i = 0
     while i < len(data):
         tag, i = _read_varint(data, i)
@@ -70,7 +76,7 @@ def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float
             ln, i = _read_varint(data, i)
             sub = data[i : i + ln]
             i += ln
-            piece, score = b"", 0.0
+            piece, score, ptype = b"", 0.0, SP_NORMAL
             j = 0
             while j < len(sub):
                 t2, j = _read_varint(sub, j)
@@ -82,6 +88,8 @@ def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float
                 elif f2 == 2 and w2 == 5:
                     score = struct.unpack("<f", sub[j : j + 4])[0]
                     j += 4
+                elif f2 == 3 and w2 == 0:
+                    ptype, j = _read_varint(sub, j)
                 elif w2 == 0:
                     _, j = _read_varint(sub, j)
                 elif w2 == 2:
@@ -93,6 +101,7 @@ def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float
                     j += 8
             pieces.append(piece)
             scores.append(score)
+            types.append(ptype)
         elif wire == 0:
             _, i = _read_varint(data, i)
         elif wire == 2:
@@ -102,11 +111,18 @@ def parse_sentencepiece_model(path: str | Path) -> tuple[list[bytes], list[float
             i += 4
         else:
             i += 8
-    return pieces, scores
+    return pieces, scores, types
 
 
-def _piece_to_bytes(piece: bytes, tid: int) -> bytes:
-    """SentencePiece piece -> raw bytes: U+2581 -> space, <0xNN> -> byte."""
+def _piece_to_bytes(piece: bytes, ptype: int = SP_NORMAL) -> bytes:
+    """SentencePiece piece -> raw bytes, matching reference convert.py:180-191:
+    control pieces (<s>, </s>, ...) -> b'' so they never detokenize as literal
+    markup or greedily match user text; unknown -> ' ⁇ '; <0xNN> byte
+    pieces -> the byte; U+2581 -> space."""
+    if ptype == SP_CONTROL:
+        return b""
+    if ptype == SP_UNKNOWN:
+        return " ⁇ ".encode("utf-8")
     if piece.startswith(b"<0x") and piece.endswith(b">") and len(piece) == 6:
         try:
             return bytes([int(piece[3:5], 16)])
@@ -115,11 +131,15 @@ def _piece_to_bytes(piece: bytes, tid: int) -> bytes:
     return piece.replace("▁".encode(), b" ")
 
 
+_FALLBACK_CONTROL = {b"<s>": SP_CONTROL, b"</s>": SP_CONTROL, b"<pad>": SP_CONTROL,
+                     b"<unk>": SP_UNKNOWN}
+
+
 def build_vocab(dir_model: Path, n_vocab: int) -> Vocab:
     sp = dir_model / "tokenizer.model"
     if sp.exists():
-        pieces, scores = parse_sentencepiece_model(sp)
-        toks = [_piece_to_bytes(p, i) for i, p in enumerate(pieces)]
+        pieces, scores, types = parse_sentencepiece_model(sp)
+        toks = [_piece_to_bytes(p, t) for p, t in zip(pieces, types)]
     else:  # fast-tokenizer fallback: rank-derived scores
         with open(dir_model / "tokenizer.json", encoding="utf-8") as f:
             tj = json.load(f)
@@ -127,7 +147,8 @@ def build_vocab(dir_model: Path, n_vocab: int) -> Vocab:
         toks = [b""] * len(vocab_map)
         scores = [0.0] * len(vocab_map)
         for tok, tid in vocab_map.items():
-            toks[tid] = _piece_to_bytes(tok.encode(), tid)
+            raw = tok.encode()
+            toks[tid] = _piece_to_bytes(raw, _FALLBACK_CONTROL.get(raw, SP_NORMAL))
             scores[tid] = -float(tid)
     while len(toks) < n_vocab:
         toks.append(f"<extra_{len(toks)}>".encode())

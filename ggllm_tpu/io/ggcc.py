@@ -24,7 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from ggllm_tpu.core.config import FalconHParams, LlamaHParams
-from ggllm_tpu.core.dtypes import GGMLType, row_nbytes
+from ggllm_tpu.core.dtypes import FType, GGMLType, row_nbytes
 from ggllm_tpu.quant import registry
 from ggllm_tpu.tokenizer.bpe import Vocab
 
@@ -145,6 +145,22 @@ def read_model(path: str | Path, load_merges: bool = True,
                 )
 
         raw = struct.unpack("<7I", f.read(28))
+        # quantized block layouts changed at GGJT v2 (Q4/Q8, PR #1405) and
+        # again at v3 (Q5/Q8, PR #1508); the reference refuses older files
+        # (llama.cpp:1091-1105) — without this guard they load as garbage
+        ftype = raw[6]
+        if version < V_GGJT_2 and ftype not in (
+                int(FType.ALL_F32), int(FType.MOSTLY_F16), int(FType.MOSTLY_Q8_0)):
+            raise ValueError(
+                f"{path}: pre-GGJT-v2 quantized file (ftype={ftype}) uses an "
+                "obsolete block layout and is no longer supported; requantize "
+                "from the original weights")
+        if version < V_GGJT_3 and ftype in (
+                int(FType.MOSTLY_Q4_0), int(FType.MOSTLY_Q4_1), int(FType.MOSTLY_Q8_0)):
+            raise ValueError(
+                f"{path}: pre-GGJT-v3 quantized file (ftype={ftype}) uses an "
+                "obsolete block layout and is no longer supported; requantize "
+                "from the original weights")
         if version >= V_GGCC_1:
             arch = "falcon"
         elif arch == "auto":

@@ -21,23 +21,28 @@ import jax.numpy as jnp
 from ggllm_tpu.core.config import RopeConfig
 
 
-def ntk_alpha(cfg: RopeConfig, n_ctx: int, head_dim: int) -> float:
+def ntk_alpha(cfg: RopeConfig, n_ctx: int, head_dim: int, arch: str = "falcon") -> float:
     """Effective alpha for a given max context (host-side, static)."""
     d = float(head_dim)
-    if cfg.dynamic_ntk:
+    dynamic = cfg.dynamic_ntk
+    if dynamic is None:
+        dynamic = arch == "falcon"  # llama.cpp applies no NTK scaling
+    if dynamic:
         if n_ctx < cfg.trained_ctx:
             return 1.0
         # integer division replicates the reference's int arithmetic
         k = (n_ctx // cfg.trained_ctx - 1) * cfg.ntk_alpha + 1
         return float(k) ** (d / (d - 2.0))
-    if cfg.ntk_alpha != 0.0:
+    if cfg.dynamic_ntk is not None and cfg.ntk_alpha != 0.0:
+        # static NTK only when explicitly configured (dynamic_ntk=False)
         return float(cfg.ntk_alpha) ** (d / (d - 2.0))
     return 1.0
 
 
-def rope_angles(cfg: RopeConfig, n_ctx: int, head_dim: int) -> jnp.ndarray:
+def rope_angles(cfg: RopeConfig, n_ctx: int, head_dim: int,
+                arch: str = "falcon") -> jnp.ndarray:
     """Per-dimension inverse frequencies, shape (head_dim//2,) float32."""
-    alpha = ntk_alpha(cfg, n_ctx, head_dim)
+    alpha = ntk_alpha(cfg, n_ctx, head_dim, arch)
     theta_scale = (alpha * cfg.freq_base) ** (-2.0 / head_dim)
     j = jnp.arange(head_dim // 2, dtype=jnp.float32)
     return theta_scale**j  # theta_scale < 1

@@ -15,20 +15,64 @@ import jax.numpy as jnp
 
 
 def device_samplable(sampler) -> bool:
-    """True if SamplerParams is within the fused device cascade's coverage."""
+    """True if SamplerParams is within the fused device cascade's coverage.
+
+    Covers bias -> repeat/frequency/presence penalties (ring buffer of the
+    last repeat_last_n tokens lives on device) -> top-k -> top-p -> temp ->
+    categorical; mirostat and the tfs/typical truncations stay host-only."""
     return (
         sampler.mirostat == 0
         and sampler.tfs_z >= 1.0
         and sampler.typical_p >= 1.0
-        and sampler.repeat_penalty == 1.0
-        and sampler.frequency_penalty == 0.0
-        and sampler.presence_penalty == 0.0
-        and not sampler.logit_bias
         # top_k <= 0 means full-vocab in the reference cascade
         # (falcon_main.cpp sampling); the device path caps at 1024, so
         # route those to the host for exact semantics (greedy exempt)
         and (sampler.temp <= 0.0 or 0 < sampler.top_k <= 1024)
     )
+
+
+def penalty_spec(sampler, n_vocab: int) -> tuple:
+    """Hashable static spec of the penalty/bias stage for jit cache keys."""
+    return (
+        float(sampler.repeat_penalty), int(sampler.repeat_last_n),
+        float(sampler.frequency_penalty), float(sampler.presence_penalty),
+        bool(sampler.penalize_nl),
+        tuple(sorted((int(t), float(b)) for t, b in sampler.logit_bias.items()
+                     if 0 <= int(t) < n_vocab)),
+    )
+
+
+def apply_penalties(logits: jnp.ndarray, ring: jnp.ndarray, spec: tuple,
+                    nl_token: int = 193) -> jnp.ndarray:
+    """Logit bias + repetition/frequency/presence penalties against a device
+    ring buffer of recent token ids (out-of-vocab entries = empty slots).
+
+    Mirrors the host cascade head (ops/sampling.py sample(), i.e.
+    falcon_main.cpp:899-946): bias first, then penalties over the last-n
+    window, then the optional newline restore."""
+    rp, rln, fp, pp, penalize_nl, bias = spec
+    if rln <= 0:  # empty penalty window: only bias applies
+        rp, fp, pp = 1.0, 0.0, 0.0
+    V = logits.shape[-1]
+    if bias:
+        ids = jnp.array([t for t, _ in bias], jnp.int32)
+        vals = jnp.array([b for _, b in bias], jnp.float32)
+        logits = logits.at[ids].add(vals)
+    if rp == 1.0 and fp == 0.0 and pp == 0.0:
+        return logits
+    nl_logit = logits[nl_token] if V > nl_token else 0.0
+    # occurrence counts of the window tokens (empty slots scatter-drop)
+    counts = jnp.zeros((V,), jnp.float32).at[ring].add(
+        1.0, mode="drop", indices_are_sorted=False, unique_indices=False)
+    hit = counts > 0
+    if rp != 1.0:
+        logits = jnp.where(
+            hit, jnp.where(logits <= 0, logits * rp, logits / rp), logits)
+    if fp != 0.0 or pp != 0.0:
+        logits = logits - counts * fp - hit.astype(jnp.float32) * pp
+    if not penalize_nl and V > nl_token:
+        logits = logits.at[nl_token].set(nl_logit)
+    return logits
 
 
 def sample_logits_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,

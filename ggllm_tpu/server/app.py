@@ -23,11 +23,11 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
-
 from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.engine.generator import Generator
 from ggllm_tpu.ops import sampling
 from ggllm_tpu import tokenizer as tok_mod
+from ggllm_tpu.utils.stream import StopStream
 
 
 def _common_part(a: list[int], b: list[int]) -> int:
@@ -35,16 +35,6 @@ def _common_part(a: list[int], b: list[int]) -> int:
     while n < len(a) and n < len(b) and a[n] == b[n]:
         n += 1
     return n
-
-
-def _partial_stop(text: bytes, stops: list[bytes]) -> int:
-    """Longest tail of `text` that is a proper prefix of some stop string."""
-    best = 0
-    for s in stops:
-        for k in range(1, min(len(s), len(text)) + 1):
-            if text.endswith(s[:k]):
-                best = max(best, k)
-    return best
 
 
 class ServerState:
@@ -74,24 +64,31 @@ class ServerState:
             mirostat_tau=float(body.get("mirostat_tau", 5.0)),
             mirostat_eta=float(body.get("mirostat_eta", 0.1)),
             penalize_nl=bool(body.get("penalize_nl", True)),
+            # [[token_id, bias], ...]; false bans the token (server.cpp parity)
+            logit_bias={int(t): (float("-inf") if b is False else float(b))
+                        for t, b in body.get("logit_bias", [])},
             seed=int(body.get("seed", -1)),
         )
 
     def completion(self, body: dict, emit=None) -> dict:
-        """Run one completion. emit(chunk_dict) streams; returns final dict."""
+        """Run one completion. emit(chunk_dict) streams; returns final dict.
+
+        Generation goes through the shared Generator, so device-coverable
+        sampler configs run the engine's fused multi-token decode loop
+        (DECODE_CHUNK forward+sample steps per dispatch) instead of
+        per-token host round trips."""
         eng = self.engine
         cfg = eng.cfg
         prompt = body.get("prompt", "")
         n_predict = int(body.get("n_predict", 128))
         stops = [s.encode() for s in body.get("stop", []) if s]
         sampler = self.sampler_from(body)
-        state = sampling.SamplerState.init(sampler)
 
         prompt_ids = self.tk.tokenize(prompt, bos=True)
+        n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 4
         if len(prompt_ids) >= cfg.n_ctx:
             # keep n_keep head + most recent tail (server.cpp truncation);
             # clamp so head + tail + n_predict always fits in n_ctx
-            n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 4
             n_keep = max(0, min(n_keep, cfg.n_ctx - n_predict - 1))
             tail = max(1, cfg.n_ctx - n_keep - n_predict)
             prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
@@ -105,49 +102,47 @@ class ServerState:
             to_eval = prompt_ids[n_common:]
         else:
             eng.reset()
+            n_common = 0
             to_eval = prompt_ids
 
+        gen = Generator(eng, sampler, self.tk.eos_id, n_keep)
+        gen.all_tokens = list(prompt_ids[:n_common])
+
         t0 = time.perf_counter()
-        logits = eng.eval(to_eval)
+        logits = gen.prefill(to_eval)
         t_prompt = time.perf_counter() - t0
 
-        last_tokens = list(prompt_ids)
-        out = b""
-        sent = 0  # bytes already emitted (streaming)
+        ss = StopStream(stops)
         tokens_predicted = 0
-        stop_reason = "limit"
-        t0 = time.perf_counter()
-        for _ in range(n_predict):
-            tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
-            last_tokens.append(tok)
-            if tok == self.tk.eos_id:
-                stop_reason = "eos"
-                break
-            piece = self.vocab.id_to_token[tok]
-            out += piece
+        parts: list[bytes] = []
+
+        def on_token(tok: int) -> bool:
+            nonlocal tokens_predicted
             tokens_predicted += 1
-            hit = next((s for s in stops if s in out), None)
-            if hit is not None:
-                out = out[: out.index(hit)]
-                stop_reason = "stop"
-                break
-            if emit is not None:
-                hold = _partial_stop(out, stops)
-                ready = out[: len(out) - hold]
-                if len(ready) > sent:
-                    emit({"content": ready[sent:].decode("utf-8", "replace"),
+            out = ss.push(self.vocab.id_to_token[tok])
+            if out:
+                parts.append(out)
+                if emit is not None:
+                    emit({"content": out.decode("utf-8", "replace"),
                           "stop": False})
-                    sent = len(ready)
-            if eng.n_past >= cfg.n_ctx:
-                stop_reason = "context"
-                break
-            logits = eng.eval([tok])
+            return not ss.stopped
+
+        t0 = time.perf_counter()
+        reason = gen.generate(logits, n_predict, on_token)
+        if not ss.stopped:
+            tail = ss.flush()
+            if tail:
+                parts.append(tail)
+                if emit is not None:
+                    emit({"content": tail.decode("utf-8", "replace"),
+                          "stop": False})
         t_gen = time.perf_counter() - t0
 
-        self.cache_tokens = last_tokens
+        stop_reason = {"callback": "stop", "eos": "eos"}.get(reason, "limit")
+        self.cache_tokens = list(gen.all_tokens) if not gen.swapped else []
+        out = b"".join(parts)
         final = {
-            "content": out[sent:].decode("utf-8", "replace") if emit else
-                       out.decode("utf-8", "replace"),
+            "content": "" if emit else out.decode("utf-8", "replace"),
             "stop": True,
             "stopped_reason": stop_reason,
             "tokens_predicted": tokens_predicted,

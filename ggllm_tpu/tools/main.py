@@ -1,8 +1,16 @@
 """falcon_main equivalent: generation CLI.
 
 Covers the core falcon_main surface (examples/falcon/falcon_main.cpp): prompt
-generation with the full sampling cascade, antiprompts, stopwords, finetune
-template detection, interactive mode, session (prompt-cache) save/reuse.
+generation with the full sampling cascade, antiprompts, stopwords (with
+streaming holdback so a stop string split across tokens never leaks),
+finetune template detection, interactive mode, session (prompt-cache)
+save/reuse, context swap for infinite generation (n_keep semantics,
+falcon_main.cpp:694-760), and logit biasing.
+
+Generation runs the engine's fused multi-token decode loop (forward + full
+device sampling cascade per DECODE_CHUNK dispatch) whenever the sampler
+config is device-coverable; mirostat/tfs/typical fall back to the exact
+per-token host cascade.
 """
 
 from __future__ import annotations
@@ -11,16 +19,36 @@ import argparse
 import sys
 import time
 
-import numpy as np
 import jax
 
 from ggllm_tpu.core.config import EngineConfig
 from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.engine.generator import Generator
 from ggllm_tpu.engine import session as session_mod
 from ggllm_tpu.io.loader import load_model
 from ggllm_tpu.ops import sampling
 from ggllm_tpu import tokenizer as tok_mod
 from ggllm_tpu.utils.finetune import detect_finetune, build_prompt, finetune_stopwords
+from ggllm_tpu.utils.stream import StopStream
+
+
+def parse_logit_bias(specs: list[str]) -> dict[int, float]:
+    """--logit-bias TOKEN_ID(+|-)BIAS, e.g. '15043+1.5' or '2-inf' to ban
+    (falcon_common.cpp gpt_params_parse logit-bias handling)."""
+    out: dict[int, float] = {}
+    for spec in specs:
+        for sep in ("+", "-"):
+            i = spec.find(sep, 1)
+            if i > 0:
+                tid = int(spec[:i])
+                val = spec[i + 1 :]
+                bias = float("-inf") if val.lower() == "inf" and sep == "-" else \
+                    float(val) * (1 if sep == "+" else -1)
+                out[tid] = bias
+                break
+        else:
+            raise ValueError(f"bad --logit-bias spec: {spec!r}")
+    return out
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -32,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
     ap.add_argument("-b", "--batch-size", type=int, default=512)
     ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("--keep", type=int, default=0, dest="n_keep",
+                    help="tokens kept from the prompt head on context swap; "
+                         "-1 = whole prompt")
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--tfs", type=float, default=1.0)
@@ -45,6 +76,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mirostat-tau", type=float, default=5.0)
     ap.add_argument("--mirostat-eta", type=float, default=0.1)
     ap.add_argument("--no-penalize-nl", action="store_true")
+    ap.add_argument("-l", "--logit-bias", action="append", default=[],
+                    metavar="TOKEN_ID(+|-)BIAS",
+                    help="add BIAS to a token's logit ('-inf' bans it); repeatable")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[],
                     help="antiprompt: stop generation when seen")
     ap.add_argument("-S", "--stopwords", default=None,
@@ -62,6 +96,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    ap.add_argument("--no-fused-decode", action="store_true",
+                    help="force the per-token host sampling path")
     ap.add_argument("--verbose-timings", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax profiler trace of generation to DIR "
@@ -93,6 +129,7 @@ def main(argv=None):
         frequency_penalty=args.frequency_penalty, presence_penalty=args.presence_penalty,
         mirostat=args.mirostat, mirostat_tau=args.mirostat_tau,
         mirostat_eta=args.mirostat_eta, penalize_nl=not args.no_penalize_nl,
+        logit_bias=parse_logit_bias(args.logit_bias),
         seed=args.seed,
     )
 
@@ -112,6 +149,9 @@ def main(argv=None):
     prompt_ids = tk.tokenize(prompt, bos=not prompt.startswith("<|endoftext|>"))
     if not prompt_ids:
         prompt_ids = [tk.bos_id]
+    # keep the whole prompt on context swap when requested (reference
+    # falcon_main: n_keep < 0 or instruct mode -> full prompt)
+    n_keep = len(prompt_ids) if (args.n_keep < 0 or args.instruct) else args.n_keep
 
     # session reuse (--prompt-cache): skip matching prefix
     eval_ids = list(prompt_ids)
@@ -121,63 +161,57 @@ def main(argv=None):
         if reused:
             print(f"session: reused {reused} prompt tokens", file=sys.stderr)
 
-    generated: list[bytes] = []
-    all_text = b""
-
-    def stream(tok: int):
-        nonlocal all_text
-        piece = vocab.id_to_token[tok]
-        generated.append(piece)
-        all_text += piece
-        sys.stdout.buffer.write(piece)
-        sys.stdout.flush()
+    gen = Generator(engine, sampler, tk.eos_id, n_keep,
+                    fused_ok=not args.no_fused_decode,
+                    log=lambda m: print(f"\n[{m}]", file=sys.stderr))
+    gen.all_tokens = list(prompt_ids[: len(prompt_ids) - len(eval_ids)])
 
     stop_suffixes = [s.encode() for s in stopwords]
     antiprompts = [a.encode() for a in args.reverse_prompt]
-
-    def should_stop() -> bool:
-        return any(all_text.endswith(s) for s in stop_suffixes) or any(
-            a in all_text[-64:] for a in antiprompts
-        )
 
     sys.stdout.buffer.write(prompt.encode())
     sys.stdout.flush()
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    state = sampling.SamplerState.init(sampler)
+
     if not eval_ids:
         eval_ids = [prompt_ids[-1]]
+        gen.all_tokens = gen.all_tokens[:-1]
         engine.n_past = max(0, engine.n_past - 1)
-    logits = engine.eval(eval_ids)
-    last_tokens = list(prompt_ids)
-    n_out = 0
-    while n_out < args.n_predict:
-        t_s = time.perf_counter()
-        tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
-        engine.timings.t_sample_us += (time.perf_counter() - t_s) * 1e6
-        engine.timings.n_sample += 1
-        last_tokens.append(tok)
-        n_out += 1
-        if tok == tk.eos_id:
-            break
-        stream(tok)
-        if should_stop():
-            break
-        if engine.n_past >= cfg.n_ctx:
-            # context swap: keep first half, continue (falcon_main.cpp:700-760)
-            keep = last_tokens[-cfg.n_ctx // 2:]
-            engine.reset()
-            logits = engine.eval(keep)
-            continue
-        logits = engine.eval([tok])
+    logits = gen.prefill(eval_ids)
 
-    print()
+    def run_turn(logits):
+        ss = StopStream(stop_suffixes, antiprompts)
+
+        def on_token(tok: int) -> bool:
+            out = ss.push(vocab.id_to_token[tok])
+            if out:
+                sys.stdout.buffer.write(out)
+                sys.stdout.flush()
+            return not ss.stopped
+
+        reason = gen.generate(logits, args.n_predict, on_token)
+        if not ss.stopped:
+            tail = ss.flush()
+            if tail:
+                sys.stdout.buffer.write(tail)
+                sys.stdout.flush()
+        print()
+        return reason
+
+    run_turn(logits)
+
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
     if args.prompt_cache:
-        session_mod.save(args.prompt_cache, engine, last_tokens)
+        if gen.swapped:
+            print("session: not saved (context swap invalidated the cache)",
+                  file=sys.stderr)
+        else:
+            session_mod.save(args.prompt_cache, engine,
+                             gen.all_tokens[: engine.n_past])
     print(engine.timings.report(), file=sys.stderr)
 
     if args.interactive:
@@ -191,19 +225,8 @@ def main(argv=None):
                 break
             text = build_prompt(finetune, line, None) if args.instruct else line
             ids = tk.tokenize(text)
-            all_text = b""
-            logits = engine.eval(ids)
-            last_tokens.extend(ids)
-            for _ in range(args.n_predict):
-                tok = sampling.sample(logits, last_tokens, sampler, state, cfg.n_ctx)
-                last_tokens.append(tok)
-                if tok == tk.eos_id:
-                    break
-                stream(tok)
-                if should_stop() or engine.n_past >= cfg.n_ctx:
-                    break
-                logits = engine.eval([tok])
-            print()
+            logits = gen.prefill(ids)
+            run_turn(logits)
 
 
 if __name__ == "__main__":

@@ -33,8 +33,10 @@ def engine_factory(tmp_path_factory):
 def test_device_samplable_classification():
     greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
     assert device_samplable(greedy)
-    assert not device_samplable(sampling.SamplerParams())  # default penalties
+    assert device_samplable(sampling.SamplerParams())  # penalties run on device
     assert not device_samplable(sampling.SamplerParams(mirostat=2, repeat_penalty=1.0))
+    assert not device_samplable(sampling.SamplerParams(tfs_z=0.9))
+    assert not device_samplable(sampling.SamplerParams(typical_p=0.9))
 
 
 def test_fused_greedy_matches_host_loop(engine_factory):

@@ -16,7 +16,8 @@ from ggllm_tpu.core.dtypes import GGMLType
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.io.ggcc import read_model
 from ggllm_tpu.io.loader import load_params
-from ggllm_tpu.server.app import ServerState, serve, _common_part, _partial_stop
+from ggllm_tpu.server.app import ServerState, serve, _common_part
+from ggllm_tpu.utils.stream import partial_stop as _partial_stop
 from ggllm_tpu.utils.synthetic import write_tiny_model
 
 
