@@ -1,0 +1,223 @@
+"""END-TO-END parity vs the compiled reference implementation.
+
+Builds the reference stack (ggml.c + k_quants.c + libfalcon.cpp +
+cmpnct_unicode.cpp, CPU only, strict IEEE) plus tests/ref_harness.cpp into an
+executable at test time, writes synthetic GGCC models, and runs BOTH stacks
+on the identical file:
+
+* tokenization: falcon_tokenize (libfalcon.cpp:2622-3016) vs tokenizer/bpe.py
+  must agree id-for-id on a mixed-content corpus;
+* logits: falcon_eval with logits_all (libfalcon.cpp:2011-2588) vs
+  FalconEngine.eval over the same token ids, compared position by position
+  (f32 weights and Q-quantized variants, MQA and GQA geometries);
+* perplexity: the falcon_perplexity window protocol
+  (falcon_perplexity.cpp:28-115) computed from both logit sets must agree.
+
+This converts the "bit-exact by construction" claims into a measurement.
+"""
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu import tokenizer as tok_mod
+from ggllm_tpu.utils.synthetic import write_tiny_model
+
+REF = "/root/reference"
+HARNESS_SRC = os.path.join(os.path.dirname(__file__), "ref_harness.cpp")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and shutil.which("g++")),
+    reason="reference tree or C++ compiler unavailable",
+)
+
+CORPUS = (
+    "The quick brown fox jumps over the lazy dog.\n"
+    "  Multiple   spaces, tabs\tand newlines...\n"
+    "Numbers: 12345 3.14159, punct!? (brackets) [más] {mixed}\n"
+    "Unicode: naïve café über 東京 🦅 ½²\n"
+    "don't can't we'll it's I'm you're they've he'd\n"
+    "CamelCase snake_case SCREAMING lower 0xDEADBEEF\n"
+)
+
+
+@pytest.fixture(scope="module")
+def harness(tmp_path_factory):
+    """Compile the reference + harness into an executable."""
+    build = tmp_path_factory.mktemp("refbuild")
+
+    def cc(cmd):
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            pytest.skip(f"reference build failed: {proc.stderr[-2000:]}")
+
+    common = ["-O2", "-fPIC", "-ffp-contract=off", "-DGGML_USE_K_QUANTS",
+              "-I", REF]
+    cc(["cc", *common, "-c", f"{REF}/ggml.c", "-o", f"{build}/ggml.o"])
+    cc(["cc", *common, "-c", f"{REF}/k_quants.c", "-o", f"{build}/k_quants.o"])
+    cc(["g++", *common, "-std=c++11", "-c", f"{REF}/libfalcon.cpp",
+        "-o", f"{build}/libfalcon.o"])
+    cc(["g++", *common, "-std=c++11", "-c", f"{REF}/cmpnct_unicode.cpp",
+        "-o", f"{build}/unicode.o"])
+    exe = f"{build}/ref_harness"
+    cc(["g++", "-O2", "-ffp-contract=off", "-I", REF, HARNESS_SRC,
+        f"{build}/libfalcon.o", f"{build}/ggml.o", f"{build}/k_quants.o",
+        f"{build}/unicode.o", "-o", exe, "-lm", "-lpthread"])
+    return exe
+
+
+def _run(harness, model, cmd, inp, out, *extra):
+    proc = subprocess.run([harness, model, cmd, inp, out, *map(str, extra)],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, f"ref_harness {cmd} failed:\n{proc.stderr[-2000:]}"
+
+
+def _write_model(tmp, hp, ftype, seed):
+    path = os.path.join(tmp, f"model_{ftype.name}_{seed}.ggcc")
+    write_tiny_model(path, hp, ftype_2d=ftype, seed=seed)
+    return path
+
+
+def _ref_logits(harness, model, ids, n_ctx, n_batch, tmp):
+    ids_f = os.path.join(tmp, "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "logits.bin")
+    _run(harness, model, "eval", ids_f, out_f, n_ctx, n_batch)
+    n_vocab = read_model(model).hparams.n_vocab
+    return np.fromfile(out_f, dtype=np.float32).reshape(len(ids), n_vocab)
+
+
+def _our_logits(model, ids, n_ctx, n_batch):
+    mf = read_model(model)
+    cfg = EngineConfig(n_ctx=n_ctx, n_batch=n_batch, kv_dtype="float32",
+                       compute_dtype="float32")
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    return eng.eval(ids, logits_all=True)
+
+
+def _ppl(logits: np.ndarray, ids, n_ctx: int) -> float:
+    """falcon_perplexity window protocol (falcon_perplexity.cpp:106-115)."""
+    nll, count = 0.0, 0
+    n_chunk = len(ids) // n_ctx
+    for i in range(n_chunk):
+        for j in range(min(512, n_ctx // 2), n_ctx - 1):
+            row = logits[i * n_ctx + j].astype(np.float64)
+            p = np.exp(row - row.max())
+            p /= p.sum()
+            nll += -np.log(p[ids[i * n_ctx + j + 1]])
+            count += 1
+    return float(np.exp(nll / count))
+
+
+# ------------------------------------------------------------- tokenization
+
+
+def test_tokenize_parity(harness, tmp_path):
+    model = _write_model(str(tmp_path), FalconHParams.tiny(), GGMLType.F32, 9)
+    text_f = os.path.join(str(tmp_path), "corpus.txt")
+    with open(text_f, "w", encoding="utf-8") as f:
+        f.write(CORPUS)
+    ids_f = os.path.join(str(tmp_path), "ids.bin")
+    _run(harness, model, "tokenize", text_f, ids_f)
+    ref_ids = np.fromfile(ids_f, dtype=np.int32).tolist()
+
+    mf = read_model(model)
+    tk = tok_mod.for_model(mf)
+    our_ids = list(map(int, tk.tokenize(CORPUS, bos=False)))
+    assert our_ids == ref_ids
+
+
+# ------------------------------------------------------------------ logits
+
+
+# Quantized tolerances: with quantized weights the reference does NOT
+# dequantize-and-matmul — it quantizes the activations to Q8 and runs integer
+# dot products (ggml.c:11318-11362, quantize_fns vec_dot_q). We dequantize
+# bit-exactly (proven in test_quant_parity_c.py) and matmul in f32, so the
+# remaining divergence is the reference's own activation-quantization noise:
+# measured ~5-7e-2 max log-softmax delta on 2-layer random models, with
+# argmax agreement >= 0.95 (disagreements are near-ties on the random
+# near-flat logits; real checkpoints are far peakier).
+GEOMETRIES = [
+    # (name, hparams factory, ftype, lsm tolerance, argmax agreement)
+    ("7b_f32", lambda: FalconHParams.tiny(), GGMLType.F32, 5e-3, 1.0),
+    ("7b_q4_0", lambda: FalconHParams.tiny(), GGMLType.Q4_0, 0.15, 0.9),
+    ("7b_q8_0", lambda: FalconHParams.tiny(), GGMLType.Q8_0, 0.15, 0.9),
+    ("40b_f32", lambda: FalconHParams.tiny_gqa(), GGMLType.F32, 5e-3, 1.0),
+    # K-quants need row widths divisible by QK_K=256
+    ("7b_q4_k", lambda: FalconHParams(
+        n_vocab=512, n_embd=256, n_head=4, n_head_kv=1, n_layer=2,
+        n_falcon_type=7, n_bpe_merges=0), GGMLType.Q4_K, 0.2, 0.9),
+    ("40b_q6_k", lambda: FalconHParams(
+        n_vocab=512, n_embd=256, n_head=8, n_head_kv=2, n_layer=2,
+        n_falcon_type=40, n_bpe_merges=0), GGMLType.Q6_K, 0.2, 0.9),
+]
+
+
+@pytest.mark.parametrize("name,mk_hp,ftype,tol,agree_min",
+                         GEOMETRIES, ids=[g[0] for g in GEOMETRIES])
+def test_logits_parity(harness, tmp_path, name, mk_hp, ftype, tol, agree_min):
+    tmp = str(tmp_path)
+    model = _write_model(tmp, mk_hp(), ftype, seed=13)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 512, size=96).tolist()
+    n_ctx, n_batch = 128, 32
+
+    ref = _ref_logits(harness, model, ids, n_ctx, n_batch, tmp)
+    ours = _our_logits(model, ids, n_ctx, n_batch)
+    assert ours.shape == ref.shape
+
+    # compare in log-softmax space (shift-invariant, what sampling/ppl see)
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < tol, f"{name}: max log-softmax delta {d:.2e} >= {tol}"
+    agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
+    assert agree >= agree_min, f"{name}: argmax agreement {agree:.3f}"
+
+
+# -------------------------------------------------------------- perplexity
+
+
+@pytest.mark.parametrize("ftype,tol", [(GGMLType.F32, 1e-4),
+                                       (GGMLType.Q8_0, 0.01)])
+def test_perplexity_protocol_parity(harness, tmp_path, ftype, tol):
+    tmp = str(tmp_path)
+    model = _write_model(tmp, FalconHParams.tiny(), ftype, seed=21)
+    # two full 64-token chunks evaluated at n_ctx=64
+    n_ctx, n_batch = 64, 32
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 512, size=2 * n_ctx).tolist()
+
+    # reference chunks reset n_past per chunk; run each chunk separately
+    ref_rows = []
+    for c in range(2):
+        ref_rows.append(_ref_logits(harness, model, ids[c * n_ctx:(c + 1) * n_ctx],
+                                    n_ctx, n_batch, tmp))
+    ref = np.concatenate(ref_rows, axis=0)
+
+    mf = read_model(model)
+    cfg = EngineConfig(n_ctx=n_ctx, n_batch=n_batch, kv_dtype="float32",
+                       compute_dtype="float32")
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    our_rows = []
+    for c in range(2):
+        eng.reset()
+        our_rows.append(eng.eval(ids[c * n_ctx:(c + 1) * n_ctx], logits_all=True))
+    ours = np.concatenate(our_rows, axis=0)
+
+    ppl_ref = _ppl(ref, ids, n_ctx)
+    ppl_ours = _ppl(ours, ids, n_ctx)
+    assert abs(ppl_ours - ppl_ref) / ppl_ref < tol, (ppl_ours, ppl_ref)
