@@ -103,25 +103,31 @@ class FalconEngine:
         self.batch = batch_size
         import jax as _jax
 
+        self.mesh = mesh
+        is_tp = False
+        if mesh is not None:
+            from ggllm_tpu.kernels.layout import KernelQuant
+
+            layers = params["layers"]
+            is_tp = isinstance(layers, (list, tuple)) and any(
+                isinstance(v, KernelQuant) for v in layers[0].values())
         flash = (cfg or EngineConfig()).flash_attention
         if flash is None:
-            flash = mesh is None and _jax.default_backend() == "tpu"
+            # the Pallas kernel runs single-chip or per-shard inside the
+            # shard_map TP path; only the GSPMD fallback can't use it (XLA
+            # cannot partition a pallas_call)
+            flash = _jax.default_backend() == "tpu" and (mesh is None or is_tp)
         self.st, self._forward = resolve_model(hparams, flash=flash)
         self.kv_dtype = (self.cfg.kv_dtype if self.cfg.kv_dtype == "int8"
                          else jnp.dtype(self.cfg.kv_dtype))
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         self.inv_freq = rope_angles(self.cfg.rope, self.cfg.n_ctx,
                                     hparams.head_dim, arch=hparams.arch)
-        self.mesh = mesh
         self._kv_sharding = None
         self.tp_plan = None
         if mesh is not None:
             from jax.sharding import NamedSharding
-            from ggllm_tpu.kernels.layout import KernelQuant
 
-            layers = params["layers"]
-            is_tp = isinstance(layers, (list, tuple)) and any(
-                isinstance(v, KernelQuant) for v in layers[0].values())
             if is_tp:
                 # fused-kernel tensor parallelism: shard_map'd forward over
                 # device-blocked weights (parallel/tp.py), one psum/layer
@@ -375,7 +381,6 @@ class FalconEngine:
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the
         reference embedding example's output (examples/embedding)."""
-        assert self.tp_plan is None, "embed under TP: use eval + lm_head inverse"
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         # evaluate all but the final chunk through the normal prefill path,
         # then one hidden-output forward for the tail
@@ -386,17 +391,27 @@ class FalconEngine:
             tokens = tokens[head:]
         key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
         if key not in self._fwd:
-            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
-            pad = key[1]
+            tp = self.tp_plan is not None
+            st = self._st_local if tp else self.st
+            psum_axis = "model" if tp else None
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def fwd(params, toks, kv, n_past, last_pos):
+            def body(params, toks, kv, n_past, last_pos):
+                if tp:
+                    params = self._tp_local_params(params)
                 return forward(
                     params, toks, kv, n_past, inv_freq, st,
                     logits_all=False, compute_dtype=dtype, last_pos=last_pos,
-                    output_hidden=True,
+                    output_hidden=True, psum_axis=psum_axis,
                 )
+
+            if tp:
+                fwd = jax.jit(
+                    self._tp_wrap(body, ("x", "kv", "x", "x"), ("x", "kv")),
+                    donate_argnums=(2,))
+            else:
+                fwd = jax.jit(body, donate_argnums=(2,))
 
             self._fwd[key] = fwd
         assert self.n_past + tokens.size <= self.cfg.n_ctx, "context overflow"
@@ -419,18 +434,29 @@ class FalconEngine:
     # scalar self.n_past untouched; the ContinuousBatcher owns row state.
 
     def _forward_rows_fn(self, seq_len: int):
-        assert self.tp_plan is None, "continuous batching under TP: next round"
         key = ("rows", seq_len)
         if key not in self._fwd:
-            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
+            tp = self.tp_plan is not None
+            st = self._st_local if tp else self.st
+            psum_axis = "model" if tp else None
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def fwd(params, tokens, kv, n_past_vec, last_pos_vec):
+            def body(params, tokens, kv, n_past_vec, last_pos_vec):
+                if tp:
+                    params = self._tp_local_params(params)
                 return forward(
                     params, tokens, kv, n_past_vec, inv_freq, st,
                     logits_all=False, compute_dtype=dtype, last_pos=last_pos_vec,
+                    psum_axis=psum_axis,
                 )
+
+            if tp:
+                fwd = jax.jit(
+                    self._tp_wrap(body, ("x", "kv", "x", "x"), ("x", "kv")),
+                    donate_argnums=(2,))
+            else:
+                fwd = jax.jit(body, donate_argnums=(2,))
 
             self._fwd[key] = fwd
         return self._fwd[key]
@@ -466,11 +492,15 @@ class FalconEngine:
     def _decode_rows_fn(self, n_steps: int, top_k: int):
         key = ("rowloop", n_steps, top_k)
         if key not in self._fwd:
-            st, inv_freq, dtype = self.st, self.inv_freq, self.compute_dtype
+            inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
+            tp = self.tp_plan is not None
+            st = self._st_local if tp else self.st
+            psum_axis = "model" if tp else None
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def loop(params, toks, kv, n_past_vec, temp, top_p, rng):
+            def loop_body(params, toks, kv, n_past_vec, temp, top_p, rng):
+                if tp:
+                    params = self._tp_local_params(params)
                 B = toks.shape[0]
 
                 def body(carry, _):
@@ -479,6 +509,7 @@ class FalconEngine:
                         params, toks[:, None], kv, npv, inv_freq, st,
                         logits_all=False, compute_dtype=dtype,
                         last_pos=jnp.zeros(B, jnp.int32),
+                        unroll=True, psum_axis=psum_axis,
                     )
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, B)
@@ -490,6 +521,15 @@ class FalconEngine:
                     body, (toks, kv, n_past_vec, rng), length=n_steps)
                 _, kv, _, rng = carry
                 return toks_out, kv, rng
+
+            if tp:
+                loop = jax.jit(
+                    self._tp_wrap(loop_body,
+                                  ("x", "kv", "x", "x", "x", "x"),
+                                  ("x", "kv", "x")),
+                    donate_argnums=(2,))
+            else:
+                loop = jax.jit(loop_body, donate_argnums=(2,))
 
             self._fwd[key] = loop
         return self._fwd[key]

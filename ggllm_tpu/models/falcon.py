@@ -103,10 +103,12 @@ def _attention(
 
     if getattr(st, "flash", False) and S > 1:
         # prefill on TPU: flash kernel streams K/V tiles instead of
-        # materializing (B, KV, G, S, T) scores in HBM
+        # materializing (B, KV, G, S, T) scores in HBM; interpret mode off-TPU
+        # so CPU mesh tests exercise the same path
+        from ggllm_tpu.kernels.dispatch import _on_tpu
         from ggllm_tpu.kernels.flash_attention import flash_mqa
 
-        return flash_mqa(q, k, v, n_past)
+        return flash_mqa(q, k, v, n_past, interpret=not _on_tpu())
 
     qg = q.reshape(B, S, st.n_head_kv, G, D).astype(jnp.float32)
     kf = k.astype(jnp.float32)
