@@ -133,3 +133,7 @@ class EngineConfig:
     # mesh axes: data (replica), model (tensor-parallel)
     mesh_shape: tuple = (1, 1)
     mesh_axes: tuple = ("data", "model")
+    # KV sharding over the model axis: "heads" (TP; GQA kv heads shard, MQA
+    # replicates) or "sequence" (time axis shards — per-chip KV memory T/mp
+    # with replicated weights; the long-context scaling mode, parallel/sp.py)
+    kv_shard: str = "heads"

@@ -109,8 +109,12 @@ class FalconEngine:
             from ggllm_tpu.kernels.layout import KernelQuant
 
             layers = params["layers"]
+            # TP weights are device-stacked KernelQuants (leading mesh axis,
+            # 4-D planes); single-chip kernel weights have 3-D planes
             is_tp = isinstance(layers, (list, tuple)) and any(
-                isinstance(v, KernelQuant) for v in layers[0].values())
+                isinstance(v, KernelQuant)
+                and next(iter(v.planes.values())).ndim == 4
+                for v in layers[0].values())
         flash = (cfg or EngineConfig()).flash_attention
         if flash is None:
             # the Pallas kernel runs single-chip or per-shard inside the
@@ -125,7 +129,21 @@ class FalconEngine:
                                     hparams.head_dim, arch=hparams.arch)
         self._kv_sharding = None
         self.tp_plan = None
-        if mesh is not None:
+        self.sp_axis_size = 0  # >0 = sequence-parallel mode (parallel/sp.py)
+        if mesh is not None and self.cfg.kv_shard == "sequence":
+            from jax.sharding import NamedSharding
+            from ggllm_tpu.parallel import sp as sp_mod
+
+            assert hparams.arch == "falcon", "sequence-parallel: falcon only"
+            assert not is_tp, "kv_shard='sequence' takes single-chip weights"
+            assert isinstance(params["layers"], (list, tuple)), \
+                "sequence-parallel requires the fused kernel weight layout"
+            self.sp_axis_size = mesh.shape["model"]
+            assert PREFILL_BUCKETS[0] % self.sp_axis_size == 0, \
+                "sequence-parallel model axis must divide the smallest bucket"
+            params = sp_mod.replicate_params(params, mesh)
+            self._kv_sharding = NamedSharding(mesh, sp_mod.kv_spec())
+        elif mesh is not None:
             from jax.sharding import NamedSharding
 
             if is_tp:
@@ -158,7 +176,10 @@ class FalconEngine:
         """KV time dim: n_ctx plus a scratch region. Padded prefill positions
         and parked batch rows write beyond n_ctx instead of corrupting live
         entries (attention masks them; they are overwritten on reuse)."""
-        return self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK)
+        t = self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK)
+        if self.sp_axis_size:  # time axis shards evenly over the mesh
+            t = -(-t // self.sp_axis_size) * self.sp_axis_size
+        return t
 
     def new_kv(self):
         from ggllm_tpu.ops import kvcache
@@ -204,11 +225,55 @@ class FalconEngine:
         return jax.tree.map(
             conv, params, is_leaf=lambda x: isinstance(x, KernelQuant))
 
+    def _sp_wrap(self, body, tok_spec, logits_spec):
+        """shard_map a (params, tokens, kv, n_past, last_pos) body for the
+        sequence-parallel mode (replicated weights, time-sharded KV)."""
+        from jax.sharding import PartitionSpec as P
+        from ggllm_tpu.parallel import sp as sp_mod
+
+        pspecs = sp_mod.sp_param_specs(self.params)
+        kvs = sp_mod.kv_spec()
+        return jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(pspecs, tok_spec, kvs, P(), P()),
+            out_specs=(logits_spec, kvs),
+            check_vma=False,
+        )
+
     def _forward_fn(self, seq_len: int, logits_all: bool):
         key = (seq_len, logits_all)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
+            if self.sp_axis_size:
+                from jax.sharding import PartitionSpec as P
+                from ggllm_tpu.parallel import sp as sp_mod
+
+                st = self.st
+                if seq_len > 1:
+                    assert seq_len % self.sp_axis_size == 0, \
+                        "prefill bucket must divide over the model axis"
+
+                    def body(params, tokens, kv, n_past, last_pos):
+                        return sp_mod.sp_prefill(
+                            params, tokens, kv, n_past, inv_freq, st,
+                            logits_all=logits_all, compute_dtype=dtype,
+                            last_pos=last_pos)
+
+                    fwd = jax.jit(self._sp_wrap(
+                        body, P(None, "model"),
+                        P(None, "model", None) if logits_all else P()),
+                        donate_argnums=(2,))
+                else:
+                    def body(params, tokens, kv, n_past, last_pos):
+                        return sp_mod.sp_decode(
+                            params, tokens, kv, n_past, inv_freq, st,
+                            compute_dtype=dtype)
+
+                    fwd = jax.jit(self._sp_wrap(body, P(), P()),
+                                  donate_argnums=(2,))
+                self._fwd[key] = fwd
+                return fwd
             if self.tp_plan is not None:
                 st = self._st_local
 
@@ -298,11 +363,24 @@ class FalconEngine:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
             tp = self.tp_plan is not None
+            sp = self.sp_axis_size > 0
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
             L = max(int(pen_spec[1]), 1)  # penalty ring length
 
             B = self.batch
+            if sp:
+                from ggllm_tpu.parallel import sp as sp_mod
+
+            def step_forward(params, toks_b, kv, n_past):
+                if sp:
+                    return sp_mod.sp_decode(params, toks_b, kv, n_past,
+                                            inv_freq, st, compute_dtype=dtype)
+                return forward(
+                    params, toks_b, kv, n_past, inv_freq,
+                    st, logits_all=False, compute_dtype=dtype, last_pos=0,
+                    unroll=True, psum_axis=psum_axis,
+                )
 
             def loop_body(params, tok, kv, n_past, rng, ring, pos):
                 if tp:
@@ -313,11 +391,7 @@ class FalconEngine:
                     # single-stream generation: broadcast the token to every
                     # cache row (only row 0's logits are sampled)
                     toks_b = jnp.full((B, 1), tok, jnp.int32)
-                    logits, kv = forward(
-                        params, toks_b, kv, n_past, inv_freq,
-                        st, logits_all=False, compute_dtype=dtype, last_pos=0,
-                        unroll=True, psum_axis=psum_axis,
-                    )
+                    logits, kv = step_forward(params, toks_b, kv, n_past)
                     rng, sub = jax.random.split(rng)
                     penalized = sampling_device.apply_penalties(
                         logits[0, 0], ring, pen_spec)
@@ -336,6 +410,17 @@ class FalconEngine:
                     self._tp_wrap(loop_body, ("x", "kv", "x", "x", "x", "x"),
                                   ("x", "kv", "x")),
                     donate_argnums=(2,))
+            elif sp:
+                from jax.sharding import PartitionSpec as P
+
+                pspecs = sp_mod.sp_param_specs(self.params)
+                kvs = sp_mod.kv_spec()
+                loop = jax.jit(jax.shard_map(
+                    loop_body, mesh=self.mesh,
+                    in_specs=(pspecs, P(), kvs, P(), P(), P(), P()),
+                    out_specs=(P(), kvs, P()),
+                    check_vma=False,
+                ), donate_argnums=(2,))
             else:
                 loop = jax.jit(loop_body, donate_argnums=(2,))
 
@@ -381,6 +466,7 @@ class FalconEngine:
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the
         reference embedding example's output (examples/embedding)."""
+        assert not self.sp_axis_size, "embed: not supported in sequence-parallel mode"
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         # evaluate all but the final chunk through the normal prefill path,
         # then one hidden-output forward for the tail
@@ -434,6 +520,8 @@ class FalconEngine:
     # scalar self.n_past untouched; the ContinuousBatcher owns row state.
 
     def _forward_rows_fn(self, seq_len: int):
+        assert not self.sp_axis_size, \
+            "continuous batching is not supported in sequence-parallel mode"
         key = ("rows", seq_len)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
