@@ -44,13 +44,24 @@ V_GGJT_3 = 4
 V_GGCC_1 = 5
 
 
+# multi-file split types (llama legacy multipart, libfalcon.cpp:665-715):
+# 1-D tensors duplicate per part; tok_embeddings / wo / w2 split by columns
+# (ne[0] multiplies), everything else by rows (ne[1] multiplies)
+SPLIT_NONE, SPLIT_BY_COLUMNS, SPLIT_BY_ROWS = 0, 1, 2
+_COLUMN_SPLIT_NAMES = ("tok_embeddings.",)
+_COLUMN_SPLIT_SUBSTR = (".attention.wo.weight", ".feed_forward.w2.weight")
+
+
 @dataclass
 class TensorRecord:
     name: str
     gtype: GGMLType
-    ne: tuple  # ggml dim order: ne[0] is the contiguous (row) dim
-    offset: int  # byte offset of data in file
-    nbytes: int
+    ne: tuple  # ggml dim order: ne[0] is the contiguous (row) dim (GLOBAL)
+    offset: int  # byte offset of data in the first owning file
+    nbytes: int  # total bytes across shards
+    # multipart: per-shard (file_idx, offset); single-file tensors have one
+    shards: list = field(default_factory=list)
+    shard_ne: tuple = ()  # per-shard ggml shape (== ne when single shard)
 
     @property
     def shape(self) -> tuple:
@@ -72,22 +83,44 @@ class ModelFile:
     hparams: FalconHParams | LlamaHParams
     vocab: Vocab
     tensors: dict[str, TensorRecord] = field(default_factory=dict)
+    paths: list = field(default_factory=list)  # all part files (index 0 = path)
 
     @property
     def arch(self) -> str:
         return self.hparams.arch
 
-    _mm: np.memmap = None
+    _mm: dict = None
 
-    def _data(self) -> np.memmap:
+    def _data(self, idx: int = 0) -> np.memmap:
         if self._mm is None:
-            self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
-        return self._mm
+            self._mm = {}
+        if idx not in self._mm:
+            p = self.paths[idx] if self.paths else self.path
+            self._mm[idx] = np.memmap(p, dtype=np.uint8, mode="r")
+        return self._mm[idx]
 
     def tensor_blob(self, name: str) -> np.ndarray:
-        """Raw packed bytes of a tensor (zero-copy view of the mmap)."""
+        """Raw packed bytes of a tensor. Zero-copy for single-file tensors;
+        multipart shards assemble per the split type (BY_ROWS concatenates
+        shard row blocks, BY_COLUMNS interleaves per-row segments —
+        libfalcon.cpp load_data_for, :1272-1316)."""
         t = self.tensors[name]
-        return self._data()[t.offset : t.offset + t.nbytes]
+        if len(t.shards) <= 1:
+            return self._data(t.shards[0][0] if t.shards else 0)[
+                t.offset : t.offset + t.nbytes]
+        shard_bytes = t.nbytes // len(t.shards)
+        split = _split_type(t.name, len(t.ne), len(t.shards))
+        if split == SPLIT_NONE:  # 1-D duplicated: take the first
+            fi, off = t.shards[0]
+            return self._data(fi)[off : off + t.nbytes]
+        parts = [self._data(fi)[off : off + shard_bytes] for fi, off in t.shards]
+        if split == SPLIT_BY_ROWS:
+            return np.concatenate(parts)
+        # BY_COLUMNS: each output row = concat of every shard's row segment
+        n_rows = t.ne[1]
+        per_row = shard_bytes // n_rows
+        stacked = np.stack([p.reshape(n_rows, per_row) for p in parts], axis=1)
+        return np.ascontiguousarray(stacked).reshape(-1)
 
     def tensor_f32(self, name: str) -> np.ndarray:
         """Dequantized float32 tensor in numpy-convention shape."""
@@ -96,6 +129,15 @@ class ModelFile:
 
     def close(self):
         self._mm = None
+
+
+def _split_type(name: str, n_dims: int, n_shards: int) -> int:
+    if n_dims == 1 or n_shards == 1:
+        return SPLIT_NONE
+    if name.startswith(_COLUMN_SPLIT_NAMES) or any(
+            s in name for s in _COLUMN_SPLIT_SUBSTR):
+        return SPLIT_BY_COLUMNS
+    return SPLIT_BY_ROWS
 
 
 def _read_u32(f) -> int:
@@ -124,8 +166,81 @@ def read_model(path: str | Path, load_merges: bool = True,
     """Parse a model file's header, vocab, merges and tensor metadata.
 
     arch: "auto" (GGCC -> falcon; pre-GGCC -> heuristic over the 7-field
-    hparams header), or explicit "falcon"/"llama"."""
+    hparams header), or explicit "falcon"/"llama".
+
+    Legacy multipart files (base + ".1", ".2", ... siblings; llama multipart,
+    libfalcon.cpp:1062-1079) are detected and their tensor shards recorded;
+    pre-GGCC falcon files load BPE merges from an adjacent tokenizer.json
+    (libfalcon.cpp:880-914)."""
     path = str(path)
+    model = _read_one_file(path, load_merges=load_merges, arch=arch)
+    model.paths = [path]
+    # multipart siblings: model.bin.1, model.bin.2, ...
+    i = 1
+    while Path(f"{path}.{i}").exists():
+        part = _read_one_file(f"{path}.{i}", load_merges=False,
+                              arch=model.arch, tensors_into=model.tensors,
+                              file_idx=i)
+        if (part.hparams.n_vocab != model.hparams.n_vocab
+                or part.hparams.n_embd != model.hparams.n_embd):
+            raise ValueError(f"{path}.{i}: hparams inconsistent between parts")
+        model.paths.append(f"{path}.{i}")
+        i += 1
+    _finalize_shards(model)
+    if (model.arch == "falcon" and model.version < V_GGCC_1 and load_merges
+            and not model.vocab.merges):
+        model.vocab.merges = _merges_from_tokenizer_json(path)
+        model.hparams.n_bpe_merges = len(model.vocab.merges)
+        model.vocab.__post_init__()  # rebuild ranks from the new merges
+    return model
+
+
+def _merges_from_tokenizer_json(model_path: str) -> list[tuple[str, str]]:
+    """Pre-GGCC falcon fallback: BPE merges from tokenizer.json next to the
+    model file (libfalcon.cpp:880-914 parse_json_to_bpe_merges)."""
+    import json
+
+    tj = Path(model_path).parent / "tokenizer.json"
+    if not tj.exists():
+        raise ValueError(
+            f"pre-GGCC falcon file has no embedded BPE merges; place the "
+            f"model's tokenizer.json at {tj}")
+    with open(tj, encoding="utf-8") as f:
+        data = json.load(f)
+    raw = data.get("model", {}).get("merges", [])
+    merges: list[tuple[str, str]] = []
+    for m in raw:
+        if isinstance(m, str):
+            a, _, b = m.partition(" ")
+        else:
+            a, b = m[0], m[1]
+        if a and b:
+            merges.append((a, b))
+    if not merges:
+        raise ValueError(f"no valid BPE merges found in {tj}")
+    return merges
+
+
+def _finalize_shards(model: ModelFile):
+    """Resolve global shapes/sizes for multipart tensors."""
+    for t in model.tensors.values():
+        n = len(t.shards)
+        if n <= 1:
+            continue
+        split = _split_type(t.name, len(t.shard_ne), n)
+        ne = t.shard_ne
+        if split == SPLIT_NONE:  # duplicated 1-D: one copy is the tensor
+            t.ne = ne
+            t.nbytes = row_nbytes(t.gtype, ne[0]) * (ne[1] if len(ne) == 2 else 1)
+        elif split == SPLIT_BY_COLUMNS:
+            t.ne = (ne[0] * n, ne[1])
+        else:  # BY_ROWS
+            t.ne = (ne[0], ne[1] * n)
+
+
+def _read_one_file(path: str, load_merges: bool, arch: str,
+                   tensors_into: dict | None = None,
+                   file_idx: int = 0) -> ModelFile:
     fsize = Path(path).stat().st_size
     with open(path, "rb") as f:
         magic = _read_u32(f)
@@ -208,8 +323,9 @@ def read_model(path: str | Path, load_merges: bool = True,
         vocab = Vocab(id_to_token=id_to_token, scores=scores, merges=merges)
 
         model = ModelFile(path=path, version=version, hparams=hp, vocab=vocab)
+        tensors = model.tensors if tensors_into is None else tensors_into
 
-        # tensor metadata
+        # tensor metadata (shards append for multipart siblings)
         while f.tell() < fsize:
             n_dims = _read_u32(f)
             name_len = _read_u32(f)
@@ -222,7 +338,17 @@ def read_model(path: str | Path, load_merges: bool = True,
                 f.seek(-f.tell() & 31, 1)  # align to 32 bytes
             offset = f.tell()
             nbytes = row_nbytes(gtype, ne[0]) * (ne[1] if n_dims == 2 else 1)
-            model.tensors[name] = TensorRecord(name, gtype, ne, offset, nbytes)
+            rec = tensors.get(name)
+            if rec is None:
+                tensors[name] = TensorRecord(
+                    name, gtype, ne, offset, nbytes,
+                    shards=[(file_idx, offset)], shard_ne=ne)
+            else:
+                if rec.shard_ne != ne or rec.gtype != gtype:
+                    raise ValueError(
+                        f"inconsistent shard for '{name}': {ne} vs {rec.shard_ne}")
+                rec.shards.append((file_idx, offset))
+                rec.nbytes += nbytes
             f.seek(nbytes, 1)
 
     return model
