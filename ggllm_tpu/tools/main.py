@@ -164,6 +164,13 @@ def main(argv=None):
     gen = Generator(engine, sampler, tk.eos_id, n_keep,
                     fused_ok=not args.no_fused_decode,
                     log=lambda m: print(f"\n[{m}]", file=sys.stderr))
+    if args.prompt_cache:
+        # restore rng/sampler state so a sampled continuation reproduces
+        # (falcon_copy_state_data rng parity, libfalcon.cpp:4254)
+        gen.state, rng_key, _ = session_mod.load_sampler_state(
+            args.prompt_cache, sampler)
+        if rng_key is not None:
+            gen.rng = rng_key
     gen.all_tokens = list(prompt_ids[: len(prompt_ids) - len(eval_ids)])
 
     stop_suffixes = [s.encode() for s in stopwords]
@@ -211,7 +218,8 @@ def main(argv=None):
                   file=sys.stderr)
         else:
             session_mod.save(args.prompt_cache, engine,
-                             gen.all_tokens[: engine.n_past])
+                             gen.all_tokens[: engine.n_past],
+                             sampler_state=gen.state, rng_key=gen.rng)
     print(engine.timings.report(), file=sys.stderr)
 
     if args.interactive:

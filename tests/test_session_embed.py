@@ -83,3 +83,78 @@ def test_embedding(model):
     logits = e2.eval([5, 17, 130])
     w = model.tensor_f32("lm_head.weight")
     np.testing.assert_allclose(emb @ w.T, logits, atol=2e-3)
+
+
+def test_session_native_kv_dtypes(model, tmp_path):
+    """KV persists in its native dtype (int8 codes+scales, bf16 raw) and only
+    the first n_past positions — no dense-f32 blowup."""
+    prompt = [5, 17, 130, 42]
+    for kvd in ("int8", "bfloat16"):
+        cfg = EngineConfig(n_ctx=64, n_batch=16, kv_dtype=kvd,
+                           compute_dtype="float32")
+        sess = str(tmp_path / f"s_{kvd}.npz")
+        e1 = FalconEngine(model.hparams, load_params(model, cfg), cfg)
+        e1.eval(prompt)
+        session_mod.save(sess, e1, prompt)
+        z = np.load(sess)
+        assert str(z["kv_dtype"]) == kvd
+        arr = z["kv_q"] if kvd == "int8" else z["kv"]
+        assert arr.shape[3] == len(prompt)  # truncated to n_past
+        assert arr.itemsize <= 2  # native width, not f32
+
+        e2 = FalconEngine(model.hparams, load_params(model, cfg), cfg)
+        rest = session_mod.try_load(sess, e2, prompt + [7])
+        assert rest == [7]
+        np.testing.assert_allclose(
+            e2.eval([7]), e1.eval([7]), atol=2e-2)
+
+
+def test_session_cross_dtype_restore(model, tmp_path):
+    """An int8 session restores into a f32 engine (dequantized) and back."""
+    prompt = [5, 17, 130, 42]
+    cfg8 = EngineConfig(n_ctx=64, n_batch=16, kv_dtype="int8",
+                        compute_dtype="float32")
+    e1 = FalconEngine(model.hparams, load_params(model, cfg8), cfg8)
+    e1.eval(prompt)
+    sess = str(tmp_path / "cross.npz")
+    session_mod.save(sess, e1, prompt)
+
+    cfgf = _cfg()
+    e2 = FalconEngine(model.hparams, load_params(model, cfgf), cfgf)
+    assert session_mod.try_load(sess, e2, prompt + [9]) == [9]
+    np.testing.assert_allclose(e2.eval([9]), e1.eval([9]), atol=2e-2)
+
+
+def test_session_sampled_continuation_reproduces(model, tmp_path):
+    """Full state parity: rng (host + device) persists, so a SAMPLED
+    continuation after save/load equals the uninterrupted run
+    (falcon_copy_state_data semantics, libfalcon.cpp:4226-4477)."""
+    from ggllm_tpu.engine.generator import Generator
+    from ggllm_tpu.ops import sampling
+
+    prompt = [5, 17, 130, 42]
+    sampler = sampling.SamplerParams(temp=0.9, top_k=40, top_p=0.95, seed=7)
+    sess = str(tmp_path / "repro.npz")
+
+    # run A: prompt -> 6 tokens -> save -> 6 more (the uninterrupted tail)
+    eA = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    genA = Generator(eA, sampler, eos_id=-1)
+    outA = []
+    genA.generate(genA.prefill(prompt), 6, lambda t: (outA.append(t), True)[1])
+    session_mod.save(sess, eA, genA.all_tokens[: eA.n_past],
+                     sampler_state=genA.state, rng_key=genA.rng)
+    saved_tokens = list(genA.all_tokens)
+    tailA = []
+    genA.generate(genA.prefill([]), 6, lambda t: (tailA.append(t), True)[1])
+
+    # run B: restore, continue
+    eB = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+    rest = session_mod.try_load(sess, eB, saved_tokens)
+    genB = Generator(eB, sampler, eos_id=-1)
+    genB.state, rng_key, _ = session_mod.load_sampler_state(sess, sampler)
+    if rng_key is not None:
+        genB.rng = rng_key
+    genB.all_tokens = saved_tokens[: len(saved_tokens) - len(rest)]
+    tailB = []
+    genB.generate(genB.prefill(rest), 6, lambda t: (tailB.append(t), True)[1])
+    assert tailB == tailA
