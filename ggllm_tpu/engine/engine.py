@@ -186,14 +186,27 @@ class FalconEngine:
 
         hp = self.hp
         shape = (hp.n_layer, 2, self.batch, self.kv_T, hp.n_head_kv, hp.head_dim)
-        kv = kvcache.new(shape, self.kv_dtype)
         if self._kv_sharding is not None:
-            kv = jax.tree.map(lambda a: jax.device_put(a, self._kv_sharding), kv)
-        return kv
+            # allocate directly in the target sharding — also valid when the
+            # mesh spans non-addressable devices (multi-host)
+            mk = jax.jit(lambda: kvcache.new(shape, self.kv_dtype),
+                         out_shardings=self._kv_sharding)
+            return mk()
+        return kvcache.new(shape, self.kv_dtype)
 
     def reset(self):
         self.n_past = 0
         self.kv = self.new_kv()
+
+    @staticmethod
+    def _fetch(x) -> np.ndarray:
+        """device_get that also works when the array spans non-addressable
+        devices (multi-host GSPMD outputs): gather the global value."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(jax.device_get(x))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
     # ------------------------------------------------------------- compile
 
@@ -334,7 +347,7 @@ class FalconEngine:
             self.params, jnp.asarray(buf), self.kv,
             jnp.int32(self.n_past), jnp.int32(n - 1),
         )
-        logits = np.asarray(jax.device_get(logits), dtype=np.float32)
+        logits = self._fetch(logits).astype(np.float32)
         dt = (time.perf_counter() - t0) * 1e6
         if n > 1:
             self.timings.t_prefill_us += dt
@@ -456,7 +469,7 @@ class FalconEngine:
             jnp.int32(self.n_past), rng_key, jnp.asarray(ring),
             jnp.int32(len(window) % L),
         )
-        toks = np.asarray(jax.device_get(toks))
+        toks = self._fetch(toks)
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_decode += n_steps
         self.kv = kv
@@ -508,7 +521,7 @@ class FalconEngine:
             jnp.int32(self.n_past), jnp.int32(tokens.size - 1))
         self.kv = kv
         self.n_past += tokens.size
-        return np.asarray(jax.device_get(hidden), dtype=np.float32)[0, 0]
+        return self._fetch(hidden).astype(np.float32)[0, 0]
 
     def rollback(self, n_past: int):
         """Roll the logical KV position back (stale cache beyond is masked)."""
@@ -570,7 +583,7 @@ class FalconEngine:
             out, kv = fwd(self.params, jnp.asarray(buf), self.kv,
                           jnp.asarray(npv), jnp.asarray(last))
             self.kv = kv
-            logits = np.asarray(jax.device_get(out), dtype=np.float32)[row, 0]
+            logits = self._fetch(out).astype(np.float32)[row, 0]
             self.timings.t_prefill_us += (time.perf_counter() - t0) * 1e6
             self.timings.n_prefill += chunk.size
             npv[row] += chunk.size
@@ -636,7 +649,7 @@ class FalconEngine:
             jnp.asarray(np.asarray(n_past_vec, np.int32)),
             jnp.asarray(np.asarray(temp, np.float32)),
             jnp.asarray(np.asarray(top_p, np.float32)), rng_key)
-        out = np.asarray(jax.device_get(out))
+        out = self._fetch(out)
         self.kv = kv
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_decode += n_steps * (active_rows if active_rows is not None
