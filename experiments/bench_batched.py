@@ -1,0 +1,61 @@
+"""Batched decode (B=8) benchmark + profile on the real chip.
+
+VERDICT r1 item 4: B=8 aggregate was 235 tok/s while the weight-read bound
+implies ~590; find and kill the non-weight overhead (vmap'd KV writes,
+per-row gathers, XLA copies).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.utils.benchgen import make_bench_params
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+PROFILE = "--profile" in sys.argv
+
+hp = FalconHParams.falcon7b()
+cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
+                   compute_dtype="bfloat16", weight_mode="fused")
+
+t0 = time.time()
+params = jax.device_put(make_bench_params(hp, GGMLType.Q4_0))
+print(f"params {time.time()-t0:.1f}s backend={jax.default_backend()}", flush=True)
+
+eng = FalconEngine(hp, params, cfg, batch_size=B)
+rng = np.random.default_rng(0)
+
+# rows at staggered positions around 1k context
+n_past = (1000 + np.arange(B) * 37).astype(np.int32)
+toks = rng.integers(0, hp.n_vocab, B).astype(np.int32)
+temp = np.zeros(B, np.float32)
+top_p = np.ones(B, np.float32)
+
+t0 = time.time()
+out, key = eng.decode_rows(toks, n_past, 16, temp, top_p)
+print(f"compile {time.time()-t0:.1f}s", flush=True)
+
+N = 128
+t0 = time.perf_counter()
+done = 0
+while done < N:
+    out, key = eng.decode_rows(out[-1], n_past + done, 16, temp, top_p,
+                               rng_key=key)
+    done += 16
+dt = time.perf_counter() - t0
+print(f"B={B}: {N} steps in {dt:.3f}s -> {N/dt:.1f} steps/s, "
+      f"{B*N/dt:.1f} tok/s aggregate", flush=True)
+
+if PROFILE:
+    jax.profiler.start_trace("/tmp/batched_trace")
+    out, key = eng.decode_rows(out[-1], n_past + done, 16, temp, top_p,
+                               rng_key=key)
+    jax.profiler.stop_trace()
+    print("trace written to /tmp/batched_trace")

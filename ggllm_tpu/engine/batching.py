@@ -12,9 +12,11 @@ n_past is invisible (attention masks t <= q_pos) and gets overwritten as the
 row advances. Rows finishing mid-chunk simply stop consuming tokens — their
 remaining chunk writes land beyond the final position and are ignored.
 
-Sampler coverage matches the fused device cascade (greedy/temp/top-k/top-p,
-per-row temp/top_p); penalties/mirostat requests should use the single-
-stream engine path.
+Sampler coverage per request: greedy/temp/top-k (<= the batcher's static
+cap)/top-p plus repetition/frequency/presence penalties over a fixed
+recent-token window (device ring buffers, rebuilt from each row's history at
+chunk boundaries). tfs/typical/mirostat/logit-bias requests should use the
+single-stream engine path.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ import jax
 
 from ggllm_tpu.engine.engine import DECODE_CHUNK, FalconEngine
 
+RING_LEN = 64  # penalty window (repeat_last_n default, falcon_common.h)
+
 
 @dataclass
 class Request:
@@ -35,8 +39,17 @@ class Request:
     n_predict: int = 128
     temp: float = 0.0
     top_p: float = 1.0
+    top_k: int = 0  # 0 = the batcher's cap
+    repeat_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
     stop_ids: frozenset = frozenset()
-    stream: object = None  # optional per-token callback(token_id)
+    # optional per-token callback(token_id); returning False stops the row
+    stream: object = None
+
+    # invoked once when the request leaves its row (finished); lets callers
+    # block on completion without polling
+    on_done: object = None
 
     # filled by the batcher
     rid: int = -1
@@ -58,6 +71,10 @@ class ContinuousBatcher:
         self.last_tok = np.zeros(self.B, dtype=np.int32)
         self.temp = np.zeros(self.B, dtype=np.float32)
         self.top_p = np.ones(self.B, dtype=np.float32)
+        self.top_k_rows = np.full(self.B, top_k, dtype=np.int32)
+        self.rp = np.ones(self.B, dtype=np.float32)
+        self.fp = np.zeros(self.B, dtype=np.float32)
+        self.pp = np.zeros(self.B, dtype=np.float32)
         self.rng = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
 
@@ -107,8 +124,7 @@ class ContinuousBatcher:
             self.n_past[row] = 0
             logits = self.eng.prefill_row(row, req.prompt_ids, self.n_past)
             self.n_past[row] = n
-            tok = int(np.argmax(logits)) if req.temp <= 0 else \
-                self._sample_host(logits, req)
+            tok = self._sample_first(logits, req)
             req.row = row
             self.rows[row] = req
             self._emit(req, tok)
@@ -118,30 +134,68 @@ class ContinuousBatcher:
             self.last_tok[row] = tok
             self.temp[row] = req.temp
             self.top_p[row] = req.top_p
+            self.top_k_rows[row] = min(req.top_k, self.top_k) if req.top_k > 0 \
+                else self.top_k
+            self.rp[row] = req.repeat_penalty
+            self.fp[row] = req.frequency_penalty
+            self.pp[row] = req.presence_penalty
 
-    def _sample_host(self, logits: np.ndarray, req: Request) -> int:
-        # first token after prefill: simple host top-k/temp draw (the device
+    def _sample_first(self, logits: np.ndarray, req: Request) -> int:
+        # first token after prefill: host-side penalties + draw (the device
         # loop handles the rest)
-        self.rng, sub = jax.random.split(self.rng)
-        from ggllm_tpu.ops import sampling_device
-        import jax.numpy as jnp
+        from ggllm_tpu.ops import sampling
 
-        return int(sampling_device.sample_logits(
-            jnp.asarray(logits), sub, req.temp, self.top_k, req.top_p))
+        c = sampling.Candidates.from_logits(logits)
+        window = np.asarray(req.prompt_ids[-RING_LEN:], np.int32)
+        sampling.repetition_penalty(c, window, req.repeat_penalty)
+        sampling.frequency_presence_penalties(
+            c, window, req.frequency_penalty, req.presence_penalty)
+        if req.temp <= 0:
+            return sampling.greedy(c)
+        sampling.top_k(c, min(req.top_k, self.top_k) if req.top_k > 0
+                       else self.top_k, 1)
+        sampling.top_p(c, req.top_p, 1)
+        sampling.temperature(c, req.temp)
+        self.rng, sub = jax.random.split(self.rng)
+        rng = np.random.default_rng(int(np.asarray(sub)[0]))
+        return sampling.sample_token(c, rng)
 
     def _emit(self, req: Request, tok: int):
         req.out.append(tok)
         if req.stream is not None:
-            req.stream(tok)
+            if req.stream(tok) is False:
+                req.done = True
         if tok in req.stop_ids or len(req.out) >= req.n_predict:
             req.done = True
 
     def _free(self, row: int):
+        req = self.rows[row]
+        if req is not None and req.on_done is not None:
+            req.on_done()
         self.rows[row] = None
         self.n_past[row] = self._park
         self.temp[row] = 0.0
         self.top_p[row] = 1.0
+        self.top_k_rows[row] = self.top_k
+        self.rp[row] = 1.0
+        self.fp[row] = 0.0
+        self.pp[row] = 0.0
         self.last_tok[row] = 0
+
+    def _rings(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row penalty windows: the last RING_LEN tokens of each live
+        row's history (prompt + generated, INCLUDING the pending last token),
+        oldest first. Rebuilt each chunk so mid-chunk stops never leave
+        phantom tokens in the window."""
+        rings = np.full((self.B, RING_LEN), self.eng.hp.n_vocab, np.int32)
+        fill = np.zeros(self.B, np.int32)
+        for row, req in enumerate(self.rows):
+            if req is None:
+                continue
+            hist = (req.prompt_ids + req.out)[-RING_LEN:]
+            rings[row, : len(hist)] = hist
+            fill[row] = len(hist)
+        return rings, fill
 
     def _decode_chunk(self):
         # rows with a full context end now (no tokens left to produce)
@@ -151,9 +205,13 @@ class ContinuousBatcher:
                 self._free(row)
         if not self.active:
             return
+        rings, fill = self._rings()
         toks, self.rng = self.eng.decode_rows(
             self.last_tok, self.n_past, self.chunk, self.temp, self.top_p,
-            top_k=self.top_k, rng_key=self.rng, active_rows=len(self.active))
+            top_k=self.top_k, rng_key=self.rng, active_rows=len(self.active),
+            top_k_rows=self.top_k_rows, repeat_penalty=self.rp,
+            frequency_penalty=self.fp, presence_penalty=self.pp,
+            rings=rings, ring_fill=fill)
         for row, req in enumerate(self.rows):
             if req is None:
                 continue

@@ -590,22 +590,25 @@ class FalconEngine:
             done += chunk.size
         return logits
 
-    def _decode_rows_fn(self, n_steps: int, top_k: int):
-        key = ("rowloop", n_steps, top_k)
+    def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int):
+        key = ("rowloop", n_steps, top_k, ring_len)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
             tp = self.tp_plan is not None
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
+            L = ring_len
 
-            def loop_body(params, toks, kv, n_past_vec, temp, top_p, rng):
+            def loop_body(params, toks, kv, n_past_vec, temp, top_p,
+                          top_k_rows, rp, fp, pp, rings, ring_pos, rng):
                 if tp:
                     params = self._tp_local_params(params)
                 B = toks.shape[0]
+                rows = jnp.arange(B, dtype=jnp.int32)
 
                 def body(carry, _):
-                    toks, kv, npv, rng = carry
+                    toks, kv, npv, rings, ring_pos, rng = carry
                     logits, kv = forward(
                         params, toks[:, None], kv, npv, inv_freq, st,
                         logits_all=False, compute_dtype=dtype,
@@ -614,19 +617,23 @@ class FalconEngine:
                     )
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, B)
+                    penalized = sampling_device.apply_penalties_rows(
+                        logits[:, 0], rings, rp, fp, pp)
                     nxt = sampling_device.sample_logits_rows(
-                        logits[:, 0], keys, temp, top_p, top_k)
-                    return (nxt, kv, npv + 1, rng), nxt
+                        penalized, keys, temp, top_p, top_k, top_k_rows)
+                    rings = rings.at[rows, ring_pos % L].set(nxt)
+                    return (nxt, kv, npv + 1, rings, ring_pos + 1, rng), nxt
 
                 carry, toks_out = jax.lax.scan(
-                    body, (toks, kv, n_past_vec, rng), length=n_steps)
-                _, kv, _, rng = carry
+                    body, (toks, kv, n_past_vec, rings, ring_pos, rng),
+                    length=n_steps)
+                _, kv, _, _, _, rng = carry
                 return toks_out, kv, rng
 
             if tp:
                 loop = jax.jit(
                     self._tp_wrap(loop_body,
-                                  ("x", "kv", "x", "x", "x", "x"),
+                                  ("x", "kv") + ("x",) * 9,
                                   ("x", "kv", "x")),
                     donate_argnums=(2,))
             else:
@@ -636,19 +643,44 @@ class FalconEngine:
         return self._fwd[key]
 
     def decode_rows(self, toks, n_past_vec, n_steps: int, temp, top_p,
-                    top_k: int = 64, rng_key=None, active_rows: int | None = None):
+                    top_k: int = 64, rng_key=None, active_rows: int | None = None,
+                    top_k_rows=None, repeat_penalty=None, frequency_penalty=None,
+                    presence_penalty=None, rings=None, ring_fill=None):
         """n_steps fused batched decode steps. toks: (B,) last sampled per
         row. Returns ((n_steps, B) successor ids, rng). active_rows scopes
-        the timing counters to genuinely live rows."""
+        the timing counters to genuinely live rows.
+
+        Per-row sampling knobs (all optional, (B,) arrays): top_k_rows
+        tightens the static top_k cap; repeat/frequency/presence penalties
+        act over `rings` (B, L) — each row's recent-token window ENDING WITH
+        toks[b] (out-of-vocab ids mark empty slots); ring_fill (B,) counts
+        valid entries per row."""
+        B = self.batch
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
-        loop = self._decode_rows_fn(n_steps, top_k)
+        if rings is None:
+            rings = np.full((B, 1), self.hp.n_vocab, np.int32)
+            ring_fill = np.zeros(B, np.int32)
+        rings = np.asarray(rings, np.int32)
+        loop = self._decode_rows_fn(n_steps, top_k, rings.shape[1])
+
+        def arr(x, default, dt=np.float32):
+            if x is None:
+                x = np.full(B, default, dt)
+            return jnp.asarray(np.asarray(x, dt))
+
         t0 = time.perf_counter()
         out, kv, rng_key = loop(
             self.params, jnp.asarray(np.asarray(toks, np.int32)), self.kv,
             jnp.asarray(np.asarray(n_past_vec, np.int32)),
-            jnp.asarray(np.asarray(temp, np.float32)),
-            jnp.asarray(np.asarray(top_p, np.float32)), rng_key)
+            arr(temp, 0.0), arr(top_p, 1.0),
+            arr(top_k_rows, top_k, np.int32),
+            arr(repeat_penalty, 1.0), arr(frequency_penalty, 0.0),
+            arr(presence_penalty, 0.0),
+            jnp.asarray(rings),
+            arr(ring_fill if ring_fill is not None else rings.shape[1],
+                rings.shape[1], np.int32),
+            rng_key)
         out = self._fetch(out)
         self.kv = kv
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6

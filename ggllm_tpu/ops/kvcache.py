@@ -49,10 +49,18 @@ def write(kv_cache, kv_new, n_past):
     if n_past.ndim == 0:
         return _dus(kv_cache, new_tree, (0, 0, n_past, 0, 0))
 
-    def upd(row, new, start):
-        return _dus(row, new, (0, start, 0, 0))
+    # per-row offsets: ONE scatter over (row, time) indices. A vmap'd
+    # dynamic_update_slice here lowered to a cascade of full-cache copies
+    # that dominated the batched decode profile (24 ms/step of XLA `copy`).
+    B, S = kv_new.shape[1], kv_new.shape[2]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1)
+    pos = n_past[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B,S)
 
-    return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(kv_cache, new_tree, n_past)
+    def upd(c, n):
+        # advanced indices on contiguous axes (1,2): update is (2,B,S,...)
+        return c.at[:, rows, pos].set(n.astype(c.dtype), mode="drop")
+
+    return jax.tree.map(upd, kv_cache, new_tree)
 
 
 def write_layer(kv, kv_new, l: int, n_past):
@@ -64,11 +72,18 @@ def write_layer(kv, kv_new, l: int, n_past):
         return _dus(kv, jax.tree.map(lambda n: n[None], new_tree),
                     (l, 0, 0, n_past, 0, 0))
 
-    def upd(row, new, start):  # row (L,2,T,KV,D), new (2,S,KV,D)
-        return _dus(row, jax.tree.map(lambda n: n[None], new),
-                    (l, 0, start, 0, 0))
+    # per-row offsets: one scatter (see write()); layer + row + time advanced
+    # indices land in front, so the update transposes to (B,S,2,...)
+    B, S = kv_new.shape[1], kv_new.shape[2]
+    l_arr = jnp.full((B, 1), l, jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1)
+    pos = n_past[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B,S)
 
-    return jax.vmap(upd, in_axes=(2, 1, 0), out_axes=2)(kv, new_tree, n_past)
+    def upd(c, n):
+        nt = jnp.moveaxis(n.astype(c.dtype), (1, 2), (0, 1))  # (B,S,2,...)
+        return c.at[l_arr, :, rows, pos].set(nt, mode="drop")
+
+    return jax.tree.map(upd, kv, new_tree)
 
 
 def read_layer(kv, l, compute_dtype=jnp.bfloat16):

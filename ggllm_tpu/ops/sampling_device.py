@@ -75,16 +75,42 @@ def apply_penalties(logits: jnp.ndarray, ring: jnp.ndarray, spec: tuple,
     return logits
 
 
+def apply_penalties_rows(logits: jnp.ndarray, rings: jnp.ndarray,
+                         rp: jnp.ndarray, fp: jnp.ndarray,
+                         pp: jnp.ndarray) -> jnp.ndarray:
+    """Per-row repetition/frequency/presence penalties with DYNAMIC per-row
+    strengths (the batched-serving analogue of apply_penalties).
+
+    logits (B, V); rings (B, L) recent-token ids (out-of-vocab = empty slot);
+    rp/fp/pp (B,). Rows with rp=1, fp=pp=0 pass through exactly (x*1 and x/1
+    are fp-exact), so mixed batches need no branching."""
+    B, V = logits.shape
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    counts = jnp.zeros((B, V), jnp.float32).at[rows, rings].add(
+        1.0, mode="drop")
+    hit = counts > 0
+    rp_ = rp[:, None]
+    logits = jnp.where(
+        hit, jnp.where(logits <= 0, logits * rp_, logits / rp_), logits)
+    return logits - counts * fp[:, None] - hit.astype(jnp.float32) * pp[:, None]
+
+
 def sample_logits_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
-                       top_p: jnp.ndarray, top_k: int) -> jnp.ndarray:
+                       top_p: jnp.ndarray, top_k: int,
+                       top_k_rows: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched per-row sampling with DYNAMIC per-row temp/top_p (traced
-    arrays) and a shared static top-k cap. temp[b] <= 0 -> greedy for row b.
+    arrays) and a shared static top-k cap; top_k_rows (B,) optionally
+    tightens the cutoff per row (exact for k <= cap). temp[b] <= 0 ->
+    greedy for row b.
 
     logits (B, V), keys (B, 2) PRNG keys, temp/top_p (B,). Returns (B,) ids.
     """
     B, V = logits.shape
     k = min(max(top_k, 1), V)
     vals, idx = jax.lax.top_k(logits, k)  # (B, k), descending
+    if top_k_rows is not None:
+        rank = jnp.arange(k, dtype=jnp.int32)[None, :]
+        vals = jnp.where(rank < top_k_rows[:, None], vals, -jnp.inf)
     scaled = vals / jnp.maximum(temp[:, None], 1e-6)
     probs = jax.nn.softmax(scaled, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

@@ -23,6 +23,8 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import queue as queue_mod
+
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.engine.generator import Generator
 from ggllm_tpu.ops import sampling
@@ -156,6 +158,160 @@ class ServerState:
         return final
 
 
+class BatchedServerState:
+    """Continuous-batching server state (--parallel N > 1): one scheduler
+    thread owns the engine; concurrent /completion requests decode TOGETHER
+    in fused batched chunks instead of serializing behind a lock.
+
+    Sampler coverage per request: greedy/temp/top-k/top-p + repeat/frequency/
+    presence penalties (fixed 64-token window). tfs/typical/mirostat/
+    logit_bias requests are rejected with a clear error — use --parallel 1
+    for the full per-token cascade."""
+
+    def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
+                 chunk: int = 8):
+        from ggllm_tpu.engine.batching import ContinuousBatcher
+
+        self.engine = engine
+        self.vocab = vocab
+        self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
+        self.batcher = ContinuousBatcher(engine, chunk=chunk)
+        self.cv = threading.Condition()
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def shutdown(self):
+        with self.cv:
+            self._stop = True
+            self.cv.notify_all()
+
+    def _loop(self):
+        while True:
+            with self.cv:
+                while not self._stop and not (self.batcher.queue
+                                              or self.batcher.active):
+                    self.cv.wait()
+                if self._stop:
+                    return
+            try:
+                self.batcher.step()
+            except Exception as e:  # surface scheduler faults to waiters
+                import sys
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                with self.cv:
+                    for r in list(self.batcher.queue) + self.batcher.active:
+                        r.done = True
+                        if r.stream is not None:
+                            r.stream(-1)
+                    self.batcher.queue.clear()
+                    self._stop = True
+                raise e
+
+    @staticmethod
+    def unsupported(body: dict) -> str | None:
+        """Why this request can't run in batched mode (None = it can)."""
+        if int(body.get("mirostat", 0)):
+            return "mirostat requires --parallel 1"
+        if float(body.get("tfs_z", 1.0)) < 1.0:
+            return "tfs_z requires --parallel 1"
+        if float(body.get("typical_p", 1.0)) < 1.0:
+            return "typical_p requires --parallel 1"
+        if body.get("logit_bias"):
+            return "logit_bias requires --parallel 1"
+        if not body.get("penalize_nl", True):
+            return "penalize_nl=false requires --parallel 1"
+        if float(body.get("temperature", 0.8)) > 0 and \
+                not (0 < int(body.get("top_k", 40)) <= 64):
+            return "top_k must be in 1..64 in batched mode"
+        return None
+
+    def completion(self, body: dict, emit=None) -> dict:
+        from ggllm_tpu.engine.batching import Request
+
+        cfg = self.engine.cfg
+        n_predict = int(body.get("n_predict", 128))
+        stops = [s.encode() for s in body.get("stop", []) if s]
+        prompt_ids = self.tk.tokenize(body.get("prompt", ""), bos=True)
+        if len(prompt_ids) + n_predict >= cfg.n_ctx:
+            n_keep = max(0, min(int(body.get("n_keep", 0)) or cfg.n_ctx // 4,
+                                cfg.n_ctx - n_predict - 1))
+            tail = max(1, cfg.n_ctx - n_keep - n_predict)
+            prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
+
+        ss = StopStream(stops)
+        q: queue_mod.Queue = queue_mod.Queue()
+        eos = self.tk.eos_id
+        outcome = {"reason": "limit"}
+
+        def stream(tok: int) -> bool:
+            if tok < 0:  # scheduler fault sentinel
+                outcome["reason"] = "error"
+                q.put(None)
+                return False
+            if tok == eos:
+                outcome["reason"] = "eos"
+                q.put(None)
+                return False
+            out = ss.push(self.vocab.id_to_token[tok])
+            if out:
+                q.put(out)
+            if ss.stopped:
+                outcome["reason"] = "stop"
+                q.put(None)
+                return False
+            return True
+
+        req = Request(
+            prompt_ids=prompt_ids, n_predict=n_predict,
+            temp=float(body.get("temperature", 0.8)),
+            top_p=float(body.get("top_p", 0.95)),
+            top_k=int(body.get("top_k", 40)),
+            repeat_penalty=float(body.get("repeat_penalty", 1.1)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            stream=stream,
+        )
+        req.on_done = lambda: q.put(None)
+        t0 = time.perf_counter()
+        with self.cv:
+            self.batcher.submit(req)
+            self.cv.notify()
+
+        parts: list[bytes] = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            parts.append(item)
+            if emit is not None:
+                emit({"content": item.decode("utf-8", "replace"),
+                      "stop": False})
+        if not ss.stopped:
+            tail = ss.flush()
+            if tail:
+                parts.append(tail)
+                if emit is not None:
+                    emit({"content": tail.decode("utf-8", "replace"),
+                          "stop": False})
+        dt = time.perf_counter() - t0
+        out = b"".join(parts)
+        n_out = len(req.out)
+        return {
+            "content": "" if emit else out.decode("utf-8", "replace"),
+            "stop": True,
+            "stopped_reason": outcome["reason"],
+            "tokens_predicted": n_out,
+            "tokens_evaluated": len(prompt_ids),
+            "timings": {
+                "total_ms": round(dt * 1e3, 2),
+                "predicted_per_second": round(n_out / dt, 2) if dt > 0 else None,
+            },
+        }
+
+
 def make_handler(state: ServerState):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -209,23 +365,33 @@ def make_handler(state: ServerState):
                 self._json(200, {"content": text.decode("utf-8", "replace")})
                 return
             if self.path == "/completion":
-                with state.lock:
-                    if body.get("stream"):
-                        self.send_response(200)
-                        self.send_header("Content-Type", "text/event-stream")
-                        self.send_header("Cache-Control", "no-cache")
-                        self.send_header("Connection", "close")
-                        self.end_headers()
-
-                        def emit(chunk):
-                            self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
-                            self.wfile.flush()
-
-                        final = state.completion(body, emit=emit)
-                        emit(final)
+                batched = isinstance(state, BatchedServerState)
+                if batched:
+                    why = state.unsupported(body)
+                    if why is not None:
+                        self._json(400, {"error": why})
                         return
-                    final = state.completion(body)
-                self._json(200, final)
+
+                def run(emit=None):
+                    if batched:  # concurrent: the scheduler thread batches
+                        return state.completion(body, emit=emit)
+                    with state.lock:
+                        return state.completion(body, emit=emit)
+
+                if body.get("stream"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+
+                    def emit(chunk):
+                        self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                        self.wfile.flush()
+
+                    emit(run(emit=emit))
+                    return
+                self._json(200, run())
                 return
             self._json(404, {"error": "not found"})
 
@@ -233,9 +399,16 @@ def make_handler(state: ServerState):
 
 
 def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080,
-          arch: str = "falcon"):
-    state = ServerState(engine, vocab, arch)
+          arch: str = "falcon", parallel: int = 1, chunk: int = 8):
+    """parallel > 1 serves concurrent requests through the continuous
+    batcher (the engine must be built with batch_size=parallel)."""
+    if parallel > 1:
+        assert engine.batch == parallel, "engine batch_size must match --parallel"
+        state = BatchedServerState(engine, vocab, arch, chunk=chunk)
+    else:
+        state = ServerState(engine, vocab, arch)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state
     return httpd
 
 
@@ -251,6 +424,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
     ap.add_argument("-b", "--batch-size", type=int, default=512)
+    ap.add_argument("-np", "--parallel", type=int, default=1,
+                    help="serve N concurrent requests via continuous batching")
+    ap.add_argument("--decode-chunk", type=int, default=8,
+                    help="batched decode tokens per dispatch")
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
@@ -260,8 +437,9 @@ def main(argv=None):
                        kv_dtype=args.kv_dtype, compute_dtype=args.compute_dtype,
                        weight_mode=args.weight_mode)
     mf, params = load_model(args.model, cfg)
-    engine = FalconEngine(mf.hparams, params, cfg)
-    httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch)
+    engine = FalconEngine(mf.hparams, params, cfg, batch_size=args.parallel)
+    httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch,
+                  parallel=args.parallel, chunk=args.decode_chunk)
     print(f"listening on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

@@ -108,3 +108,87 @@ def test_truncation_never_exceeds_ctx(server):
                 {"prompt": long_prompt, "n_predict": 64, "temperature": 0.0})
     assert out["stop"] is True
     assert out["tokens_evaluated"] + 64 <= 128 + 1
+
+
+# ------------------------------------------------------- batched serving
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bsrv") / "tiny.ggcc")
+    hp = FalconHParams.tiny()
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=8)
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=128, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32")
+    params = load_params(mf, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg, batch_size=3)
+    from ggllm_tpu.server.app import serve as serve_fn
+
+    httpd = serve_fn(engine, mf.vocab, port=0, parallel=3, chunk=4)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.state.shutdown()
+    httpd.shutdown()
+
+
+def test_batched_completion(batched_server):
+    out = _post(batched_server, "/completion",
+                {"prompt": "ab", "n_predict": 6, "temperature": 0.0,
+                 "repeat_penalty": 1.0})
+    assert out["stop"] is True
+    assert out["tokens_predicted"] >= 1
+    assert out["stopped_reason"] in ("limit", "eos", "stop")
+
+
+def test_batched_concurrent_requests(batched_server):
+    """Concurrent requests batch together and all complete with the same
+    output a sequential run produces (greedy determinism)."""
+    import concurrent.futures
+
+    def one(prompt):
+        return _post(batched_server, "/completion",
+                     {"prompt": prompt, "n_predict": 8, "temperature": 0.0,
+                      "repeat_penalty": 1.0})
+
+    prompts = ["hello a", "the theatre", "in another"]
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        concurrent_out = list(ex.map(one, prompts))
+    sequential_out = [one(p) for p in prompts]
+    for c, s in zip(concurrent_out, sequential_out):
+        assert c["content"] == s["content"]
+        assert c["stop"] is True
+
+
+def test_batched_default_sampler_with_penalties(batched_server):
+    """The DEFAULT sampler (temp 0.8, repeat_penalty 1.1) runs batched."""
+    out = _post(batched_server, "/completion",
+                {"prompt": "ab cd", "n_predict": 8, "seed": 3})
+    assert out["stop"] is True
+    assert out["tokens_predicted"] >= 1
+
+
+def test_batched_rejects_unsupported_sampler(batched_server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(batched_server, "/completion",
+              {"prompt": "x", "n_predict": 2, "mirostat": 2})
+    assert ei.value.code == 400
+
+
+def test_batched_streaming(batched_server):
+    req = urllib.request.Request(
+        batched_server + "/completion",
+        data=json.dumps({"prompt": "ab", "n_predict": 6,
+                         "temperature": 0.0, "repeat_penalty": 1.0,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: "):
+                chunks.append(json.loads(line[6:]))
+    assert chunks and chunks[-1]["stop"] is True
