@@ -52,6 +52,14 @@ def _bucket(n: int, n_batch: int) -> int:
                      f"bucket {PREFILL_BUCKETS[-1]}")
 
 
+@partial(jax.jit, donate_argnums=())
+def _gather_logprobs(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, V) logits -> (S,) log softmax(logits[0, j])[targets[j]]."""
+    row = logits[0].astype(jnp.float32)
+    lsm = row - jax.scipy.special.logsumexp(row, axis=-1, keepdims=True)
+    return jnp.take_along_axis(lsm, targets[:, None], axis=1)[:, 0]
+
+
 @dataclass
 class Timings:
     """falcon_print_timings fields (libfalcon.cpp:4700-4715)."""
@@ -364,6 +372,45 @@ class FalconEngine:
     def eval(self, tokens, logits_all: bool = False) -> np.ndarray:
         """Reference falcon_eval equivalent."""
         return self.eval_tokens(tokens, logits_all=logits_all)
+
+    def eval_logprobs(self, tokens) -> np.ndarray:
+        """Per-position next-token log-probabilities for one sequence
+        starting at n_past: out[j] = log softmax(logits_j)[tokens[j+1]],
+        shape (n-1,). The log-softmax gather runs ON DEVICE so only (n,)
+        floats transfer instead of the full (n, n_vocab) logits — the
+        perplexity tool's hot path (falcon_perplexity evals with logits_all
+        and ships every row to the host)."""
+        tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        out = []
+        i = 0
+        step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
+        while i < tokens.size:
+            chunk = tokens[i : i + step]
+            targets = tokens[i + 1 : i + 1 + chunk.size]
+            out.append(self._eval_chunk_logprobs(chunk, targets))
+            i += chunk.size
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def _eval_chunk_logprobs(self, chunk: np.ndarray, targets: np.ndarray):
+        n = chunk.size
+        assert self.n_past + n <= self.cfg.n_ctx, "context overflow"
+        pad = _bucket(n, self.cfg.n_batch)
+        buf = np.zeros((self.batch, pad), dtype=np.int32)
+        buf[0, :n] = chunk
+        tgt = np.zeros(pad, dtype=np.int32)
+        tgt[: targets.size] = targets
+        t0 = time.perf_counter()
+        fwd = self._forward_fn(pad, True)
+        logits, kv = fwd(
+            self.params, jnp.asarray(buf), self.kv,
+            jnp.int32(self.n_past), jnp.int32(n - 1),
+        )
+        lp = self._fetch(_gather_logprobs(logits, jnp.asarray(tgt)))
+        self.timings.t_prefill_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_prefill += n
+        self.kv = kv
+        self.n_past += n
+        return lp[: targets.size].astype(np.float32)
 
     # ------------------------------------------------------- fused decoding
 

@@ -23,14 +23,12 @@ class PerplexityResult:
     per_chunk: list
 
 
-def _log_softmax_at(logits: np.ndarray, idx: int) -> float:
-    m = float(logits.max())
-    lse = m + math.log(float(np.exp(logits - m).sum()))
-    return float(logits[idx]) - lse
-
-
 def perplexity(engine, tokens, progress=None, max_chunks: int = 0) -> PerplexityResult:
-    """Compute wikitext-style perplexity. `engine` is a FalconEngine."""
+    """Compute wikitext-style perplexity. `engine` is a FalconEngine.
+
+    Next-token log-probabilities come from engine.eval_logprobs — the
+    log-softmax gather runs on device, so each chunk transfers n_ctx floats
+    instead of the full (n_ctx, n_vocab) logits matrix."""
     tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
     n_ctx = engine.cfg.n_ctx
     n_chunk = tokens.size // n_ctx
@@ -48,10 +46,9 @@ def perplexity(engine, tokens, progress=None, max_chunks: int = 0) -> Perplexity
         start = i * n_ctx
         chunk = tokens[start : start + n_ctx]
         engine.reset()
-        logits = engine.eval(chunk, logits_all=True)  # (n_ctx, V)
-        for j in range(first_j, n_ctx - 1):
-            nll += -_log_softmax_at(logits[j], int(chunk[j + 1]))
-            count += 1
+        lp = engine.eval_logprobs(chunk)  # (n_ctx - 1,)
+        nll += float(-lp[first_j : n_ctx - 1].astype(np.float64).sum())
+        count += n_ctx - 1 - first_j
         ppl_so_far = math.exp(nll / count)
         per_chunk.append(ppl_so_far)
         if progress:
