@@ -95,13 +95,19 @@ def _attention(
     v: jnp.ndarray,  # (B, T, KV, D)
     n_past: jnp.ndarray,  # scalar or (B,) int32
     st: FalconStatic,
+    kv_append: jnp.ndarray | None = None,  # (2, B, S, KV, D) current block
 ) -> jnp.ndarray:
-    """Causal MQA/GQA attention over a prefix-valid KV cache. f32 softmax."""
+    """Causal MQA/GQA attention over a prefix-valid KV cache. f32 softmax.
+
+    kv_append: the current block's K/V NOT yet written to the cache
+    (deferred-write decode path) — appended after the cache along T, with
+    the cache masked STRICTLY before n_past (its entries at >= n_past may be
+    stale) and the appended block causal within itself."""
     B, S, H, D = q.shape
     T = k.shape[1]
     G = H // st.n_head_kv  # query heads per kv head
 
-    if getattr(st, "flash", False) and S > 1:
+    if getattr(st, "flash", False) and S > 1 and kv_append is None:
         # prefill on TPU: flash kernel streams K/V tiles instead of
         # materializing (B, KV, G, S, T) scores in HBM; interpret mode off-TPU
         # so CPU mesh tests exercise the same path
@@ -109,6 +115,23 @@ def _attention(
         from ggllm_tpu.kernels.flash_attention import flash_mqa
 
         return flash_mqa(q, k, v, n_past, interpret=not _on_tpu())
+
+    q_pos = _positions(n_past, B, S)  # (B, S)
+    t_pos = jnp.arange(T, dtype=jnp.int32)  # (T,)
+    if kv_append is not None:
+        k = jnp.concatenate([k, kv_append[0].astype(k.dtype)], axis=1)
+        v = jnp.concatenate([v, kv_append[1].astype(v.dtype)], axis=1)
+        np_vec = jnp.broadcast_to(
+            jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+        cache_mask = jnp.broadcast_to(
+            t_pos[None, None, :] < np_vec[:, None, None], (B, S, T))
+        j = jnp.arange(S, dtype=jnp.int32)
+        app_mask = jnp.broadcast_to(
+            j[None, None, :] <= j[None, :, None], (B, S, S))
+        mask = jnp.concatenate([cache_mask, app_mask], axis=-1)
+    else:
+        # key position t visible to query i iff t <= n_past + i
+        mask = t_pos[None, None, :] <= q_pos[:, :, None]  # (B, S, T)
 
     qg = q.reshape(B, S, st.n_head_kv, G, D).astype(jnp.float32)
     kf = k.astype(jnp.float32)
@@ -118,11 +141,6 @@ def _attention(
     scores = jnp.einsum(
         "bskgd,btkd->bkgst", qg, kf, precision=jax.lax.Precision.HIGHEST
     ) * (1.0 / jnp.sqrt(D).astype(jnp.float32))
-
-    # causal + validity mask: key position t visible to query i iff t <= n_past + i
-    q_pos = _positions(n_past, B, S)  # (B, S)
-    t_pos = jnp.arange(T, dtype=jnp.int32)  # (T,)
-    mask = t_pos[None, None, :] <= q_pos[:, :, None]  # (B, S, T)
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -236,21 +254,39 @@ def falcon_forward(
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
 
     layers = params["layers"]
+    n_past_arr = jnp.asarray(n_past, jnp.int32)
     if isinstance(layers, (list, tuple)) or unroll:
         # Unrolled layer loop. The kernel path keeps layers UNSTACKED (a list
         # of per-layer weight dicts): each Pallas call reads its layer's
         # buffers directly. A scan over stacked planes would dynamic-slice
         # (i.e. copy) every weight every step — decode is HBM-bound, and that
         # copy doubles the bytes touched per token.
+        #
+        # Per-row n_past decode (continuous batching): per-layer scatters
+        # into the stacked cache materialize XLA copies that dominated the
+        # batched decode profile. DEFER the writes: attention reads the cache
+        # (masked strictly before n_past) plus the current block appended,
+        # and all layers' K/V land in ONE scatter at the end. Decode only —
+        # a deferred prefill block would re-materialize (S, T) score tiles
+        # that the flash kernel exists to avoid.
+        defer = n_past_arr.ndim > 0 and tokens.shape[1] == 1
+        deferred = []
         for l in range(st.n_layer):
             lw = layers[l] if isinstance(layers, (list, tuple)) else \
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
-            # single small in-place write into the donated stacked cache
-            kv = kvcache.write_layer(kv, kv_new, l, n_past)
-            k, v = kvcache.read_layer(kv, l, q.dtype)
-            attn = _attention(q, k, v, n_past, st)
+            if defer:
+                k, v = kvcache.read_layer(kv, l, q.dtype)
+                attn = _attention(q, k, v, n_past, st, kv_append=kv_new)
+                deferred.append(kv_new)
+            else:
+                # single small in-place write into the donated stacked cache
+                kv = kvcache.write_layer(kv, kv_new, l, n_past)
+                k, v = kvcache.read_layer(kv, l, q.dtype)
+                attn = _attention(q, k, v, n_past, st)
             x = _layer_post(x, lw, attn, gf, st, psum_axis)
+        if defer:
+            kv = kvcache.write_all_layers(kv, jnp.stack(deferred), n_past_arr)
     else:
         assert psum_axis is None, "TP runs the unrolled (list) layer path"
 

@@ -142,14 +142,24 @@ def llama_forward(
     x = jnp.take(params["tok_embeddings"], tokens, axis=0).astype(compute_dtype)
 
     layers = params["layers"]
+    n_past_arr = jnp.asarray(n_past, jnp.int32)
     if isinstance(layers, (list, tuple)) or unroll:
+        # per-row n_past decode defers KV writes to one scatter (see
+        # falcon_forward: per-layer scatters materialize XLA copies)
+        defer = n_past_arr.ndim > 0 and tokens.shape[1] == 1
+        deferred = []
         for l in range(st.n_layer):
             lw = layers[l] if isinstance(layers, (list, tuple)) else \
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-            kv = kvcache.write_layer(kv, kv_new, l, n_past)
-            k, v = kvcache.read_layer(kv, l, q.dtype)
-            attn = _attention(q, k, v, n_past, st)
+            if defer:
+                k, v = kvcache.read_layer(kv, l, q.dtype)
+                attn = _attention(q, k, v, n_past, st, kv_append=kv_new)
+                deferred.append(kv_new)
+            else:
+                kv = kvcache.write_layer(kv, kv_new, l, n_past)
+                k, v = kvcache.read_layer(kv, l, q.dtype)
+                attn = _attention(q, k, v, n_past, st)
             B, S, _ = x.shape
             a_out = linear(lw["wo"], attn.reshape(B, S, st.n_head * st.head_dim))
             if psum_axis is not None:
@@ -159,6 +169,8 @@ def llama_forward(
             if psum_axis is not None:
                 f_out = jax.lax.psum(f_out, psum_axis)
             x = x + f_out
+        if defer:
+            kv = kvcache.write_all_layers(kv, jnp.stack(deferred), n_past_arr)
     else:
         assert psum_axis is None, "TP runs the unrolled (list) layer path"
 

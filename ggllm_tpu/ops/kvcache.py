@@ -86,6 +86,31 @@ def write_layer(kv, kv_new, l: int, n_past):
     return jax.tree.map(upd, kv, new_tree)
 
 
+def write_all_layers(kv, kv_new_stacked, n_past):
+    """ONE scatter writing every layer's kv_new (L,2,B,S,KV,D) at per-row
+    offsets. The batched decode path defers its per-layer writes here —
+    32 separate scatters on the stacked cache each materialized copies in
+    XLA; a single scatter is one (ideally in-place) update."""
+    is_q = isinstance(kv, tuple)
+    new_tree = kv_new_stacked
+    if is_q:
+        f = kv_new_stacked.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(f), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        new_tree = (jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8),
+                    scale)
+    B, S = kv_new_stacked.shape[2], kv_new_stacked.shape[3]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1)
+    n_past = jnp.asarray(n_past, jnp.int32).reshape(-1)
+    pos = n_past[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B,S)
+
+    def upd(c, n):
+        # advanced indices on contiguous axes (2,3): update keeps layout
+        return c.at[:, :, rows, pos].set(n.astype(c.dtype), mode="drop")
+
+    return jax.tree.map(upd, kv, new_tree)
+
+
 def read_layer(kv, l, compute_dtype=jnp.bfloat16):
     """Layer l's (k, v) as dense arrays (dequantized for int8 caches)."""
     if isinstance(kv, tuple):

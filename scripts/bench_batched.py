@@ -1,8 +1,12 @@
-"""Batched decode (B=8) benchmark + profile on the real chip.
+"""Batched decode benchmark + profile on the real chip (B rows decode
+together; the continuous-batching serving path).
 
-VERDICT r1 item 4: B=8 aggregate was 235 tok/s while the weight-read bound
-implies ~590; find and kill the non-weight overhead (vmap'd KV writes,
-per-row gathers, XLA copies).
+Usage: python scripts/bench_batched.py [B] [--profile]
+
+History: r1 vmap'd per-row KV writes lowered to XLA copy cascades (80% of
+step time, 123-235 tok/s aggregate at B=8); r2 defers all layers' writes to
+one scatter with append-aware attention -> 474 tok/s (59 steps/s, ~1.25x a
+single-stream step for 8 rows).
 """
 
 import sys
