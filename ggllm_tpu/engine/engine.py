@@ -680,7 +680,7 @@ class FalconEngine:
             if tp:
                 loop = jax.jit(
                     self._tp_wrap(loop_body,
-                                  ("x", "kv") + ("x",) * 9,
+                                  ("x", "kv") + ("x",) * 10,
                                   ("x", "kv", "x")),
                     donate_argnums=(2,))
             else:

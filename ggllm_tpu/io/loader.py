@@ -183,8 +183,15 @@ def _merge_rows_kernel(parts):
     return klayout.to_kernel(parts[0].gtype, planes, shape)
 
 
+def _progress(cb, i: int, n: int, what: str):
+    """Loader progress hook (the reference's falcon_progress_callback,
+    libfalcon.h:77, default bar libfalcon.cpp:3848-3885)."""
+    if cb is not None:
+        cb(i / max(n, 1), what)
+
+
 def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
-                       lora, dtype) -> dict:
+                       lora, dtype, progress=None) -> dict:
     hp = mf.hparams
     mode = cfg.weight_mode
     params: dict = {
@@ -204,6 +211,7 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
 
     layers = []
     for i in range(hp.n_layer):
+        _progress(progress, i, hp.n_layer, f"layer {i}/{hp.n_layer}")
         names = _llama_names(i)
         lw: dict = {
             "attn_norm": mf.tensor_f32(names["attn_norm"]).astype(np.float32),
@@ -335,11 +343,14 @@ def load_params(
     cfg: EngineConfig | None = None,
     mesh=None,
     lora=None,
+    progress=None,
 ) -> dict:
     """Build the parameter pytree from a parsed model file.
 
     lora: optional LoraFile or path to a 'ggla' adapter; matched weights are
     densified with the scaled delta applied.
+    progress: optional callback(fraction, description) invoked while layers
+    load (falcon_progress_callback analogue, libfalcon.h:77).
     """
     cfg = cfg or EngineConfig()
     hp = mf.hparams
@@ -361,7 +372,8 @@ def load_params(
                     "multi-chip LLaMA needs the TP plan (uniform quant type, "
                     "mp | n_head, no LoRA, no data axis)")
             return tp_params
-        return _load_llama_params(mf, cfg, kernel, lora, dtype)
+        return _load_llama_params(mf, cfg, kernel, lora, dtype,
+                                  progress=progress)
     if (mesh is not None and mode == "fused" and cfg.kernel_layout is not False):
         tp_params = _try_load_falcon_tp(mf, cfg, mesh, lora, dtype)
         if tp_params is not None:
@@ -390,6 +402,7 @@ def load_params(
 
     layers = []
     for i in range(hp.n_layer):
+        _progress(progress, i, hp.n_layer, f"layer {i}/{hp.n_layer}")
         names = _layer_names(hp, i)
         lw: dict = {}
         for key in ("input_ln_w", "input_ln_b"):
@@ -418,7 +431,10 @@ def load_params(
     return params
 
 
-def load_model(path: str, cfg: EngineConfig | None = None, mesh=None, lora=None):
+def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
+               lora=None, progress=None):
     """Convenience: parse file + build params. Returns (ModelFile, params)."""
     mf = read_model(path)
-    return mf, load_params(mf, cfg, mesh=mesh, lora=lora)
+    params = load_params(mf, cfg, mesh=mesh, lora=lora, progress=progress)
+    _progress(progress, 1, 1, "done")
+    return mf, params

@@ -116,7 +116,17 @@ def main(argv=None):
         weight_mode=args.weight_mode,
     )
     t0 = time.time()
-    mf, params = load_model(args.model, cfg, lora=args.lora)
+
+    def progress(frac: float, what: str):
+        # the reference's 50-char load bar (libfalcon.cpp:3852-3885)
+        width = 50
+        pos = int(frac * width)
+        bar = "=" * pos + (">" if pos < width else "") + "-" * max(0, width - pos - 1)
+        end = "\n" if frac >= 1 else ""
+        print(f"\r[{bar}] {frac * 100:3.0f}%  {what:<20s}", file=sys.stderr,
+              end=end, flush=True)
+
+    mf, params = load_model(args.model, cfg, lora=args.lora, progress=progress)
     engine = FalconEngine(mf.hparams, params, cfg)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
     vocab = mf.vocab
