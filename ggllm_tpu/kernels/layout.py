@@ -47,10 +47,6 @@ class FormatSpec:
     scale_names: tuple[str, ...] = ("ds",)
     two_level: bool = False
     packed_scb: bool = False  # Q2_K: one byte packs 4-bit scale | 4-bit min
-    # Q4_K/Q5_K: the 6-bit sc/scm sub-scales pack 2 groups into 3 bytes
-    # ("scp" plane, 0.375 bits/w) instead of two int8 planes (0.5 bits/w) —
-    # decode is HBM-bound, every scale byte streams once per token
-    packed_66: bool = False
 
 
 FORMATS: dict[GGMLType, FormatSpec] = {
@@ -64,23 +60,12 @@ FORMATS: dict[GGMLType, FormatSpec] = {
     GGMLType.Q3_K: FormatSpec((("q", 2, 0), ("h", 1, 2)), -4.0, 16, False,
                               ("db", "sc"), True),
     GGMLType.Q4_K: FormatSpec((("q", 4, 0),), 0.0, 32, True,
-                              ("db", "dminb", "scp"), True, packed_66=True),
+                              ("db", "dminb", "sc", "scm"), True),
     GGMLType.Q5_K: FormatSpec((("q", 4, 0), ("h", 1, 4)), 0.0, 32, True,
-                              ("db", "dminb", "scp"), True, packed_66=True),
+                              ("db", "dminb", "sc", "scm"), True),
     GGMLType.Q6_K: FormatSpec((("q", 4, 0), ("h", 2, 4)), -32.0, 16, False,
                               ("db", "sc"), True),
 }
-
-
-def pack66(sc: np.ndarray, scm: np.ndarray) -> np.ndarray:
-    """Two 6-bit value streams (O, G) -> (O, G//2, 3) bytes: a group pair
-    packs [sc0|m1.lo2, m0|m1.mid2, sc1|m1.hi2]."""
-    sc0, sc1 = sc[:, 0::2], sc[:, 1::2]
-    m0, m1 = scm[:, 0::2], scm[:, 1::2]
-    b0 = sc0 | ((m1 & 3) << 6)
-    b1 = m0 | (((m1 >> 2) & 3) << 6)
-    b2 = sc1 | (((m1 >> 4) & 3) << 6)
-    return np.stack([b0, b1, b2], axis=-1).astype(np.uint8)
 
 # VMEM sizing: contraction chunk cap (i32 intermediates dominate)
 CK_MAX = 4096
@@ -284,22 +269,7 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
     if spec.two_level:
         # fp16-bit super-block scales (per 256) + integer sub-scales — the
         # kernel forms d*sc in f32, exactly the reference's effective scale
-        if spec.packed_66:
-            sc = np.asarray(ds.pop("sc")).reshape(O, K // spec.group)
-            scm = np.asarray(ds.pop("scm")).reshape(O, K // spec.group)
-            packed = pack66(sc.astype(np.uint8), scm.astype(np.uint8))
-            # (O, G//2, 3) -> flat per-column stream, then chunk like a
-            # "group" of 64 columns per 3 bytes
-            flat = packed.reshape(O, -1)
-            if kp != K:
-                flat = np.pad(flat, ((0, 0), (0, (kp - K) // 64 * 3)))
-            n_k_ = kp // ck
-            ds["scp"] = np.ascontiguousarray(
-                flat.T.reshape(n_k_, (ck // 64) * 3, O))
         for name, arr in ds.items():
-            if name == "scp":
-                out[name] = arr
-                continue
             g = 256 if name in ("db", "dminb") else spec.group
             out[name] = chunk_int(np.asarray(arr), g)
         return KernelQuant(gtype, (O, K), ck, out)

@@ -89,19 +89,6 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             ds_g = d * (scb & 0xF).astype(jnp.float32)
             dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
             ms_g = dmin * (scb >> 4).astype(jnp.float32)
-        elif getattr(spec, "packed_66", False):
-            # 2 groups per 3 bytes: [sc0|m1.lo2, m0|m1.mid2, sc1|m1.hi2]
-            v = sc_refs["scp"][0].astype(jnp.int32)  # ((ck//64)*3, bo)
-            bo_ = v.shape[-1]
-            v = v.reshape(-1, 3, bo_)
-            b0, b1, b2 = v[:, 0], v[:, 1], v[:, 2]
-            sc0, m0, sc1 = b0 & 63, b1 & 63, b2 & 63
-            m1 = ((b0 >> 6) & 3) | (((b1 >> 6) & 3) << 2) | (((b2 >> 6) & 3) << 4)
-            sc = jnp.stack([sc0, sc1], axis=1).reshape(-1, bo_)
-            sm = jnp.stack([m0, m1], axis=1).reshape(-1, bo_)
-            ds_g = d * sc.astype(jnp.float32)
-            dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
-            ms_g = dmin * sm.astype(jnp.float32)
         else:
             ds_g = d * sc_refs["sc"][0].astype(jnp.float32)
             ms_g = None

@@ -98,6 +98,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
     ap.add_argument("--no-fused-decode", action="store_true",
                     help="force the per-token host sampling path")
+    ap.add_argument("-ts", "--tensor-split", type=int, default=1, metavar="N",
+                    dest="mesh_model",
+                    help="shard the model over N chips (the reference's "
+                         "--tensor-split, as a mesh 'model' axis size)")
+    ap.add_argument("--kv-shard", default="heads", choices=["heads", "sequence"],
+                    help="KV sharding over the model axis: 'heads' (tensor "
+                         "parallel) or 'sequence' (time-sharded cache for "
+                         "long contexts)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() (TPU pod "
+                         "auto-discovery) before building the mesh")
     ap.add_argument("--verbose-timings", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax profiler trace of generation to DIR "
@@ -108,13 +119,40 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    if args.ctx_size < 8:
+        print("warning: minimum context size is 8", file=sys.stderr)
+        args.ctx_size = 8
+    # large-context default-temperature derating (falcon_main.cpp:110-125
+    # intent: offset the perplexity increase at long NTK-scaled contexts;
+    # only when the user left --temp at its default)
+    if args.temp == build_argparser().get_default("temp"):
+        derate = {16384: 0.5, 8192: 0.6, 4096: 0.7}
+        for ctx, t in sorted(derate.items(), reverse=True):
+            if args.ctx_size >= ctx:
+                print(f"info: context size {args.ctx_size} is large; reducing "
+                      f"default temperature to {t}", file=sys.stderr)
+                args.temp = t
+                break
+
     cfg = EngineConfig(
         n_ctx=args.ctx_size,
         n_batch=args.batch_size,
         kv_dtype=args.kv_dtype,
         compute_dtype=args.compute_dtype,
         weight_mode=args.weight_mode,
+        kv_shard=args.kv_shard,
     )
+    mesh = None
+    if args.multihost:
+        from ggllm_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+    if args.mesh_model > 1:
+        from ggllm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, model=args.mesh_model)
+        print(f"mesh: 1 x {args.mesh_model} (kv_shard={args.kv_shard})",
+              file=sys.stderr)
     t0 = time.time()
 
     def progress(frac: float, what: str):
@@ -126,8 +164,16 @@ def main(argv=None):
         print(f"\r[{bar}] {frac * 100:3.0f}%  {what:<20s}", file=sys.stderr,
               end=end, flush=True)
 
-    mf, params = load_model(args.model, cfg, lora=args.lora, progress=progress)
-    engine = FalconEngine(mf.hparams, params, cfg)
+    if mesh is not None and args.kv_shard == "sequence":
+        # sequence-parallel replicates weights: load the single-chip fused
+        # layout (the engine shards only the KV cache)
+        cfg.kernel_layout = True
+        mf, params = load_model(args.model, cfg, lora=args.lora,
+                                progress=progress)
+    else:
+        mf, params = load_model(args.model, cfg, lora=args.lora, mesh=mesh,
+                                progress=progress)
+    engine = FalconEngine(mf.hparams, params, cfg, mesh=mesh)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
     vocab = mf.vocab
     tk = tok_mod.for_model(mf)
