@@ -98,10 +98,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
     ap.add_argument("--no-fused-decode", action="store_true",
                     help="force the per-token host sampling path")
-    ap.add_argument("-ts", "--tensor-split", type=int, default=1, metavar="N",
+    ap.add_argument("-ts", "--tensor-split", default="1", metavar="N|auto",
                     dest="mesh_model",
                     help="shard the model over N chips (the reference's "
-                         "--tensor-split, as a mesh 'model' axis size)")
+                         "--tensor-split, as a mesh 'model' axis size); "
+                         "'auto' picks the smallest mesh whose per-chip "
+                         "footprint fits HBM (the reference's VRAM "
+                         "auto-offload analogue)")
     ap.add_argument("--kv-shard", default="heads", choices=["heads", "sequence"],
                     help="KV sharding over the model axis: 'heads' (tensor "
                          "parallel) or 'sequence' (time-sharded cache for "
@@ -147,6 +150,18 @@ def main(argv=None):
         from ggllm_tpu.parallel.mesh import init_distributed
 
         init_distributed()
+    if args.mesh_model == "auto":
+        from ggllm_tpu.io.ggcc import read_model
+        from ggllm_tpu.parallel.plan import suggest_tensor_split
+
+        plan = suggest_tensor_split(read_model(args.model), cfg=None)
+        args.mesh_model = plan.model_axis
+        args.kv_shard = plan.kv_shard
+        print(f"auto tensor split: {plan.model_axis} chip(s), "
+              f"kv_shard={plan.kv_shard} "
+              f"({plan.per_chip_bytes / 2**30:.2f} GB/chip)", file=sys.stderr)
+    else:
+        args.mesh_model = int(args.mesh_model)
     if args.mesh_model > 1:
         from ggllm_tpu.parallel.mesh import make_mesh
 
