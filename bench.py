@@ -29,8 +29,11 @@ def main():
     from ggllm_tpu.utils.benchgen import make_bench_params
 
     hp = FalconHParams.falcon7b()
+    # decode_chunk 64: dispatch overhead through the device tunnel is
+    # ~2.5 ms/token at chunk 16; 64 amortizes it (74 -> 88 tok/s measured)
     cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
-                       compute_dtype="bfloat16", weight_mode="fused")
+                       compute_dtype="bfloat16", weight_mode="fused",
+                       decode_chunk=64)
 
     t0 = time.time()
     params = make_bench_params(hp, GGMLType.Q4_0)
@@ -53,17 +56,18 @@ def main():
 
     # warmup: compiles the fused decode loop
     tok = int(rng.integers(0, hp.n_vocab))
+    chunk = cfg.decode_chunk
     t0 = time.time()
-    engine.decode_chunk(tok, 16, greedy)
+    engine.decode_chunk(tok, chunk, greedy)
     print(f"decode-loop compile {time.time() - t0:.1f}s", file=sys.stderr)
 
-    n_decode = 128
+    n_decode = 256
     done = 0
     t0 = time.perf_counter()
     while done < n_decode:
-        toks, _ = engine.decode_chunk(tok, 16, greedy)
+        toks, _ = engine.decode_chunk(tok, chunk, greedy)
         tok = int(toks[-1])
-        done += 16
+        done += chunk
     dt = time.perf_counter() - t0
     toks = n_decode / dt
 

@@ -116,6 +116,10 @@ class EngineConfig:
 
     n_ctx: int = 2048
     n_batch: int = 512  # prefill chunk
+    # tokens generated per device dispatch by the fused decode loop: larger
+    # amortizes dispatch overhead (measured 74 -> 88 tok/s from 16 -> 64 on
+    # the tunneled chip), smaller streams sooner and wastes less on stops
+    decode_chunk: int = 16
     max_decode_batch: int = 1  # concurrent sequences (continuous batching)
     kv_dtype: str = "bfloat16"  # -f16_kv equivalent; "float32" for exactness
     compute_dtype: str = "bfloat16"

@@ -59,11 +59,12 @@ class Request:
 
 
 class ContinuousBatcher:
-    def __init__(self, engine: FalconEngine, chunk: int = DECODE_CHUNK,
+    def __init__(self, engine: FalconEngine, chunk: int | None = None,
                  top_k: int = 64, seed: int = 0):
         self.eng = engine
         self.B = engine.batch
-        self.chunk = min(chunk, DECODE_CHUNK)
+        self.chunk = min(chunk or engine.cfg.decode_chunk,
+                         max(DECODE_CHUNK, engine.cfg.decode_chunk))
         self.top_k = top_k
         self.queue: deque[Request] = deque()
         self.rows: list[Request | None] = [None] * self.B

@@ -36,9 +36,9 @@ from ggllm_tpu.ops.rope import rope_angles
 
 PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
-# tokens generated per device dispatch by the fused decode loop: large enough
-# to amortize host/launch overhead, small enough for responsive streaming and
-# stopword checks
+# default tokens per device dispatch for the fused decode loop (overridable
+# via EngineConfig.decode_chunk): large enough to amortize host/launch
+# overhead, small enough for responsive streaming and stopword checks
 DECODE_CHUNK = 16
 
 
@@ -184,7 +184,8 @@ class FalconEngine:
         """KV time dim: n_ctx plus a scratch region. Padded prefill positions
         and parked batch rows write beyond n_ctx instead of corrupting live
         entries (attention masks them; they are overwritten on reuse)."""
-        t = self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK)
+        t = self.cfg.n_ctx + max(self.cfg.n_batch, DECODE_CHUNK,
+                                 self.cfg.decode_chunk)
         if self.sp_axis_size:  # time axis shards evenly over the mesh
             t = -(-t // self.sp_axis_size) * self.sp_axis_size
         return t
@@ -796,7 +797,7 @@ class FalconEngine:
 
         rng = None
         while len(out) < n_predict:
-            chunk = min(DECODE_CHUNK, n_predict - len(out),
+            chunk = min(self.cfg.decode_chunk, n_predict - len(out),
                         self.cfg.n_ctx - self.n_past)
             if chunk <= 0:
                 break

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 
-from ggllm_tpu.engine.engine import DECODE_CHUNK, FalconEngine
+from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.ops import sampling, sampling_device
 
 
@@ -107,7 +107,7 @@ class Generator:
                     self._swap()
                     self.pending_feed = []
                 if self.fused:
-                    chunk = min(DECODE_CHUNK, n_predict - n_out,
+                    chunk = min(eng.cfg.decode_chunk, n_predict - n_out,
                                 eng.cfg.n_ctx - eng.n_past)
                     toks, self.rng = eng.decode_chunk(
                         self.all_tokens[-1], chunk, sampler, self.rng,

@@ -98,6 +98,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
     ap.add_argument("--no-fused-decode", action="store_true",
                     help="force the per-token host sampling path")
+    ap.add_argument("--decode-chunk", type=int, default=16,
+                    help="tokens per device dispatch in the fused decode "
+                         "loop (larger = faster, chunkier streaming)")
     ap.add_argument("-ts", "--tensor-split", default="1", metavar="N|auto",
                     dest="mesh_model",
                     help="shard the model over N chips (the reference's "
@@ -144,6 +147,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         weight_mode=args.weight_mode,
         kv_shard=args.kv_shard,
+        decode_chunk=args.decode_chunk,
     )
     mesh = None
     if args.multihost:
