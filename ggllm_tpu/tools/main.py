@@ -262,6 +262,12 @@ def main(argv=None):
         gen.all_tokens = gen.all_tokens[:-1]
         engine.n_past = max(0, engine.n_past - 1)
     logits = gen.prefill(eval_ids)
+    if args.prompt_cache and len(eval_ids) > 1:
+        # cache the evaluated prompt immediately (falcon_main.cpp:867-871
+        # saves at first sample) so an interrupted run still reuses it
+        session_mod.save(args.prompt_cache, engine,
+                         gen.all_tokens[: engine.n_past],
+                         sampler_state=gen.state, rng_key=gen.rng)
 
     def run_turn(logits):
         ss = StopStream(stop_suffixes, antiprompts)
