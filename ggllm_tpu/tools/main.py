@@ -79,6 +79,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-l", "--logit-bias", action="append", default=[],
                     metavar="TOKEN_ID(+|-)BIAS",
                     help="add BIAS to a token's logit ('-inf' bans it); repeatable")
+    ap.add_argument("--ignore-eos", action="store_true",
+                    help="never emit end-of-text (bans the EOS logit, the "
+                         "reference's --ignore-eos logit_bias[eos]=-inf)")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[],
                     help="antiprompt: stop generation when seen")
     ap.add_argument("-S", "--stopwords", default=None,
@@ -224,6 +227,8 @@ def main(argv=None):
     prompt_ids = tk.tokenize(prompt, bos=not prompt.startswith("<|endoftext|>"))
     if not prompt_ids:
         prompt_ids = [tk.bos_id]
+    if args.ignore_eos:
+        sampler.logit_bias[tk.eos_id] = float("-inf")
     # keep the whole prompt on context swap when requested (reference
     # falcon_main: n_keep < 0 or instruct mode -> full prompt)
     n_keep = len(prompt_ids) if (args.n_keep < 0 or args.instruct) else args.n_keep
