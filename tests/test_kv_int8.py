@@ -74,3 +74,38 @@ def test_int8_session_roundtrip(tmp_path):
     l_resumed = e2.eval([9])
     l_direct = e1.eval([9])
     np.testing.assert_allclose(l_resumed, l_direct, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 4, reason="needs 4 devices")
+@pytest.mark.parametrize("kv_shard", ["heads", "sequence"])
+def test_int8_kv_under_mesh(tmp_path, kv_shard):
+    """int8 cache composes with both mesh modes (TP head sharding and
+    sequence sharding): logits stay close to the single-device f32 engine."""
+    from ggllm_tpu.parallel.mesh import make_mesh
+
+    path = str(tmp_path / "m.ggcc")
+    write_tiny_model(path, FalconHParams.tiny(), ftype_2d=GGMLType.Q8_0, seed=44)
+    mf = read_model(path)
+
+    cfg_ref = EngineConfig(n_ctx=64, n_batch=16, kv_dtype="float32",
+                           compute_dtype="float32", kernel_layout=True)
+    ref = FalconEngine(mf.hparams, load_params(mf, cfg_ref), cfg_ref)
+
+    mesh = make_mesh(data=1, model=2)
+    cfg = EngineConfig(n_ctx=64, n_batch=16, kv_dtype="int8",
+                       compute_dtype="float32", kernel_layout=True,
+                       kv_shard=kv_shard)
+    params = load_params(mf, cfg) if kv_shard == "sequence" else \
+        load_params(mf, cfg, mesh=mesh)
+    eng = FalconEngine(mf.hparams, params, cfg, mesh=mesh)
+
+    prompt = [5, 17, 130, 42, 99, 260]
+    l_ref = ref.eval(prompt)
+    l_int8 = eng.eval(prompt)
+    scale = np.abs(l_ref).max() + 1e-6
+    # int8 KV quantization noise bounds the difference
+    np.testing.assert_allclose(l_int8 / scale, l_ref / scale, atol=2e-2)
+    # decode steps work on the quantized mesh-sharded cache
+    t = int(np.argmax(l_int8))
+    assert np.all(np.isfinite(eng.eval([t])))
