@@ -323,6 +323,17 @@ class FalconEngine:
             self._fwd[key] = fwd
         return self._fwd[key]
 
+    def export_hlo(self, seq_len: int | None = None) -> str:
+        """StableHLO text of the lowered forward graph — the TPU analogue of
+        the reference's cgraph --export (falcon_common.cpp 'export' /
+        ggml_graph_export): the whole compiled computation, inspectable."""
+        pad = _bucket(seq_len or self.cfg.n_batch, self.cfg.n_batch)
+        fwd = self._forward_fn(pad, False)
+        lowered = fwd.lower(
+            self.params, jnp.zeros((self.batch, pad), jnp.int32),
+            self.kv, jnp.int32(0), jnp.int32(pad - 1))
+        return lowered.as_text()
+
     # ---------------------------------------------------------------- eval
 
     def eval_tokens(self, tokens, logits_all: bool = False) -> np.ndarray:

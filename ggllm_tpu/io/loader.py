@@ -338,17 +338,41 @@ def _try_load_llama_tp(mf: ModelFile, cfg: EngineConfig, mesh, lora, dtype):
     return tp.shard_tp_params(params, mesh)
 
 
+def _with_lora_base(mf: ModelFile, base_mf: ModelFile, patched) -> ModelFile:
+    """View of mf whose LoRA-patched tensors read from a separate base model.
+
+    The reference's --lora-base (libfalcon.cpp:4091-4110): when applying an
+    adapter to a quantized model, base weights come from an f16 model so the
+    delta is added to unquantized values rather than a dequantized
+    approximation."""
+    import copy
+
+    view = copy.copy(mf)
+    view._mm = None  # do not share the memmap cache with the original
+
+    def tensor_f32(name: str, _orig=type(mf).tensor_f32):
+        if name in patched and name in base_mf.tensors:
+            return base_mf.tensor_f32(name)
+        return _orig(view, name)
+
+    view.tensor_f32 = tensor_f32
+    return view
+
+
 def load_params(
     mf: ModelFile,
     cfg: EngineConfig | None = None,
     mesh=None,
     lora=None,
+    lora_base=None,
     progress=None,
 ) -> dict:
     """Build the parameter pytree from a parsed model file.
 
     lora: optional LoraFile or path to a 'ggla' adapter; matched weights are
     densified with the scaled delta applied.
+    lora_base: optional ModelFile or path of an unquantized model whose
+    tensors serve as the base for LoRA-patched weights (--lora-base).
     progress: optional callback(fraction, description) invoked while layers
     load (falcon_progress_callback analogue, libfalcon.h:77).
     """
@@ -362,6 +386,23 @@ def load_params(
         from ggllm_tpu.io import lora as lora_mod
 
         lora = lora_mod.read_lora(lora)
+    if lora is not None:
+        if isinstance(lora_base, str):
+            lora_base = read_model(lora_base)
+        quantized_patch = any(
+            name in mf.tensors
+            and GGMLType(mf.tensors[name].gtype).name.startswith("Q")
+            for name in lora.tensors
+        )
+        if lora_base is not None:
+            mf = _with_lora_base(mf, lora_base, set(lora.tensors))
+        elif quantized_patch:
+            import warnings
+
+            warnings.warn(
+                "applying a LoRA adapter to quantized tensors without "
+                "--lora-base: deltas are added to dequantized values, which "
+                "may degrade quality (libfalcon.cpp:4110-4116)")
     if mf.arch == "llama":
         if mesh is not None:
             tp_params = None
@@ -432,9 +473,10 @@ def load_params(
 
 
 def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
-               lora=None, progress=None):
+               lora=None, lora_base=None, progress=None):
     """Convenience: parse file + build params. Returns (ModelFile, params)."""
     mf = read_model(path)
-    params = load_params(mf, cfg, mesh=mesh, lora=lora, progress=progress)
+    params = load_params(mf, cfg, mesh=mesh, lora=lora, lora_base=lora_base,
+                         progress=progress)
     _progress(progress, 1, 1, "done")
     return mf, params

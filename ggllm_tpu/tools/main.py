@@ -51,11 +51,49 @@ def parse_logit_bias(specs: list[str]) -> dict[int, float]:
     return out
 
 
+ANSI_RESET = "\x1b[0m"
+ANSI_PROMPT = "\x1b[33m"        # yellow: prompt echo
+ANSI_USER = "\x1b[1;32m"        # bold green: user input
+ANSI_ERROR = "\x1b[31m"         # red
+
+RANDOM_PROMPTS = ["So", "Once upon a time", "When", "The", "After",
+                  "If", "import", "He", "She", "They"]
+
+
+def read_user_input(multiline: bool) -> str | None:
+    """Console line protocol (examples/common.cpp console_readline):
+
+    default mode — Return submits; a trailing '\\' continues on another
+    line; a trailing '/' submits without the final newline.
+    multiline mode — Return inserts a newline; a trailing '\\' submits;
+    '/' submits without the newline. Returns None at EOF with no input.
+    """
+    lines: list[str] = []
+    while True:
+        try:
+            line = input()
+        except EOFError:
+            return None if not lines else "\n".join(lines) + "\n"
+        if line.endswith("\\"):
+            lines.append(line[:-1])
+            if multiline:
+                return "\n".join(lines) + "\n"
+            continue
+        if line.endswith("/"):
+            lines.append(line[:-1])
+            return "\n".join(lines)
+        lines.append(line)
+        if not multiline:
+            return "\n".join(lines) + "\n"
+
+
 def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="Falcon generation (TPU)")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-p", "--prompt", default="")
     ap.add_argument("-f", "--file", help="read prompt from file")
+    ap.add_argument("--random-prompt", action="store_true",
+                    help="start with a short randomized prompt")
     ap.add_argument("-n", "--n-predict", type=int, default=128)
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
     ap.add_argument("-b", "--batch-size", type=int, default=512)
@@ -73,8 +111,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--frequency-penalty", type=float, default=0.0)
     ap.add_argument("--presence-penalty", type=float, default=0.0)
     ap.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
-    ap.add_argument("--mirostat-tau", type=float, default=5.0)
-    ap.add_argument("--mirostat-eta", type=float, default=0.1)
+    ap.add_argument("--mirostat-tau", "--mirostat-ent", type=float,
+                    default=5.0, dest="mirostat_tau",
+                    help="mirostat target entropy tau")
+    ap.add_argument("--mirostat-eta", "--mirostat-lr", type=float,
+                    default=0.1, dest="mirostat_eta",
+                    help="mirostat learning rate eta")
     ap.add_argument("--no-penalize-nl", action="store_true")
     ap.add_argument("-l", "--logit-bias", action="append", default=[],
                     metavar="TOKEN_ID(+|-)BIAS",
@@ -87,15 +129,58 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-S", "--stopwords", default=None,
                     help="pipe-separated stopwords ('' disables finetune defaults)")
     ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("--interactive-first", action="store_true",
+                    help="interactive mode, waiting for input before "
+                         "generating anything")
     ap.add_argument("-ins", "--instruct", action="store_true")
-    ap.add_argument("--sys-prompt", default=None, help="system prompt (finetune templated)")
+    ap.add_argument("--in-prefix", default="",
+                    help="string prepended to every interactive user input")
+    ap.add_argument("--in-suffix", default="",
+                    help="string appended to every interactive user input")
+    ap.add_argument("--multiline-input", action="store_true",
+                    help="interactive input spans lines until a trailing '\\'")
+    ap.add_argument("--color", action="store_true",
+                    help="colorize output: prompt yellow, input green")
+    ap.add_argument("--sys-prompt", "--system", default=None,
+                    dest="sys_prompt", help="system prompt (finetune templated)")
+    ap.add_argument("--system-file", default=None,
+                    help="read the system prompt from a file")
+    ap.add_argument("--system-raw", action="store_true",
+                    help="prepend the system prompt verbatim, no template")
     ap.add_argument("-enc", "--enclose-prompt", action="store_true",
                     help="wrap -p in the detected finetune template")
     ap.add_argument("--finetune", default="auto",
                     choices=["auto", "none", "alpaca", "openassistant", "wizard", "falcon_ins"],
                     help="finetune template override")
     ap.add_argument("--lora", default=None, help="apply a 'ggla' LoRA adapter")
+    ap.add_argument("--lora-base", default=None,
+                    help="unquantized model whose tensors serve as the base "
+                         "for LoRA-patched weights")
     ap.add_argument("--prompt-cache", default=None, help="session file path")
+    ap.add_argument("--prompt-cache-all", action="store_true",
+                    help="also save generated output to the session file")
+    ap.add_argument("--prompt-cache-ro", action="store_true",
+                    help="use the session file read-only, never update it")
+    ap.add_argument("--verbose-prompt", action="store_true",
+                    help="print the tokenization of every ingested prompt")
+    ap.add_argument("--mtest", action="store_true",
+                    help="compute maximum-memory usage (full-batch prefill + "
+                         "one decode step), report, and exit")
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="write the lowered StableHLO of the forward graph "
+                         "(the reference's cgraph --export analogue) and exit")
+    # accepted-and-ignored reference flags, so reference command lines run
+    # unchanged (threads/VRAM knobs have no TPU meaning; XLA owns memory)
+    for flag, extra in (("--threads", {"type": int}), ("-t", {"type": int}),
+                        ("--n-gpu-layers", {"type": int}),
+                        ("-ngl", {"type": int}), ("--gpu-layers", {"type": int}),
+                        ("--main-gpu", {"type": int}),
+                        ("--gpu-reserve-mb-main", {"type": int}),
+                        ("--mlock", {"action": "store_true"}),
+                        ("--no-mmap", {"action": "store_true"})):
+        ap.add_argument(flag, dest="_compat", help=argparse.SUPPRESS, **extra)
+    ap.add_argument("--memory-f32", action="store_true",
+                    help="store the KV cache in f32 (sets --kv-dtype float32)")
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
@@ -128,6 +213,13 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    if args.interactive_first:
+        args.interactive = True
+    if args.memory_f32:
+        args.kv_dtype = "float32"
+    if args.system_file:
+        with open(args.system_file, "rb") as f:
+            args.sys_prompt = f.read().decode("utf-8", errors="replace")
     if args.ctx_size < 8:
         print("warning: minimum context size is 8", file=sys.stderr)
         args.ctx_size = 8
@@ -191,14 +283,34 @@ def main(argv=None):
         # layout (the engine shards only the KV cache)
         cfg.kernel_layout = True
         mf, params = load_model(args.model, cfg, lora=args.lora,
-                                progress=progress)
+                                lora_base=args.lora_base, progress=progress)
     else:
-        mf, params = load_model(args.model, cfg, lora=args.lora, mesh=mesh,
+        mf, params = load_model(args.model, cfg, lora=args.lora,
+                                lora_base=args.lora_base, mesh=mesh,
                                 progress=progress)
     engine = FalconEngine(mf.hparams, params, cfg, mesh=mesh)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
     vocab = mf.vocab
     tk = tok_mod.for_model(mf)
+
+    if args.mtest:
+        # the reference's --mtest: run the worst-case paths (full-batch
+        # prefill + a single-token step), report time and device memory
+        engine.eval([0] * min(cfg.n_batch, cfg.n_ctx - 1))
+        engine.eval([0])
+        print(engine.timings.report(), file=sys.stderr)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "bytes_in_use" in stats:
+            print(f"mtest: {stats['bytes_in_use'] / 2**20:.1f} MiB in use, "
+                  f"peak {stats.get('peak_bytes_in_use', 0) / 2**20:.1f} MiB",
+                  file=sys.stderr)
+        return 0
+    if args.export:
+        with open(args.export, "w") as f:
+            f.write(engine.export_hlo())
+        print(f"forward graph (StableHLO) exported to {args.export}",
+              file=sys.stderr)
+        return 0
 
     sampler = sampling.SamplerParams(
         top_k=args.top_k, top_p=args.top_p, tfs_z=args.tfs, typical_p=args.typical,
@@ -215,10 +327,18 @@ def main(argv=None):
     if args.file:
         with open(args.file, "rb") as f:
             prompt = f.read().decode("utf-8", errors="replace")
+    if args.random_prompt and not prompt:
+        import random
+
+        prompt = random.Random(args.seed if args.seed >= 0
+                               else None).choice(RANDOM_PROMPTS)
+    if args.sys_prompt and args.system_raw:
+        prompt = args.sys_prompt + prompt
 
     finetune = detect_finetune(args.model, vocab) if args.finetune == "auto" else args.finetune
     if args.enclose_prompt or args.instruct:
-        prompt = build_prompt(finetune, prompt, args.sys_prompt)
+        prompt = build_prompt(finetune, prompt,
+                              None if args.system_raw else args.sys_prompt)
     stopwords = finetune_stopwords(finetune)
     if args.stopwords is not None:
         stopwords = [s for s in args.stopwords.split("|") if s]
@@ -227,6 +347,24 @@ def main(argv=None):
     prompt_ids = tk.tokenize(prompt, bos=not prompt.startswith("<|endoftext|>"))
     if not prompt_ids:
         prompt_ids = [tk.bos_id]
+
+    def verbose_tokens(ids, label):
+        # falcon_main.cpp:542-555 "number of tokens in prompt" dump
+        if not args.verbose_prompt:
+            return
+        print(f"{label}: {len(ids)} tokens", file=sys.stderr)
+        for tid in ids:
+            s = vocab.id_to_token[tid].decode("utf-8", errors="replace")
+            s = s.replace("\n", "\\n").replace("\r", "\\r")
+            print(f"{tid:6d} -> '{s}'", file=sys.stderr)
+
+    verbose_tokens(prompt_ids, "prompt")
+
+    def set_color(code: str):
+        if args.color:
+            sys.stdout.write(code)
+            sys.stdout.flush()
+
     if args.ignore_eos:
         sampler.logit_bias[tk.eos_id] = float("-inf")
     # keep the whole prompt on context swap when requested (reference
@@ -256,8 +394,10 @@ def main(argv=None):
     stop_suffixes = [s.encode() for s in stopwords]
     antiprompts = [a.encode() for a in args.reverse_prompt]
 
+    set_color(ANSI_PROMPT)
     sys.stdout.buffer.write(prompt.encode())
     sys.stdout.flush()
+    set_color(ANSI_RESET)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -267,7 +407,7 @@ def main(argv=None):
         gen.all_tokens = gen.all_tokens[:-1]
         engine.n_past = max(0, engine.n_past - 1)
     logits = gen.prefill(eval_ids)
-    if args.prompt_cache and len(eval_ids) > 1:
+    if args.prompt_cache and not args.prompt_cache_ro and len(eval_ids) > 1:
         # cache the evaluated prompt immediately (falcon_main.cpp:867-871
         # saves at first sample) so an interrupted run still reuses it
         session_mod.save(args.prompt_cache, engine,
@@ -293,12 +433,50 @@ def main(argv=None):
         print()
         return reason
 
-    run_turn(logits)
+    if not args.interactive_first:
+        run_turn(logits)
+
+    if args.interactive:
+        control = (
+            " - To submit your input, end it with '\\'.\n"
+            if args.multiline_input else
+            " - Return submits; a trailing '\\' continues on another line;\n"
+            "   a trailing '/' submits without the final newline.\n")
+        print("== Running in interactive mode. ==\n"
+              " - An empty input continues the generation; Ctrl+D exits.\n"
+              + control, file=sys.stderr)
+        while True:
+            set_color(ANSI_USER)
+            if args.in_prefix:
+                sys.stdout.write(args.in_prefix)
+                sys.stdout.flush()
+            line = read_user_input(args.multiline_input)
+            set_color(ANSI_RESET)
+            if line is None:
+                break
+            if line.strip():
+                text = args.in_prefix + line + args.in_suffix
+                if args.in_suffix:
+                    sys.stdout.write(args.in_suffix)
+                    sys.stdout.flush()
+                if args.instruct:
+                    text = build_prompt(finetune, text, None)
+                ids = tk.tokenize(text)
+                verbose_tokens(ids, "input")
+                logits = gen.prefill(ids)
+            elif gen.pending_feed:
+                logits = gen.prefill([])  # continue the generation
+            else:
+                continue
+            run_turn(logits)
 
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
-    if args.prompt_cache:
+    if args.prompt_cache and args.prompt_cache_all and not args.prompt_cache_ro:
+        # --prompt-cache-all: the final save includes generated output
+        # (falcon_main.cpp:1228-1231); without it the session keeps only the
+        # prompt saved after prefill above
         if gen.swapped:
             print("session: not saved (context swap invalidated the cache)",
                   file=sys.stderr)
@@ -307,20 +485,6 @@ def main(argv=None):
                              gen.all_tokens[: engine.n_past],
                              sampler_state=gen.state, rng_key=gen.rng)
     print(engine.timings.report(), file=sys.stderr)
-
-    if args.interactive:
-        print("== interactive mode: empty line to exit ==", file=sys.stderr)
-        while True:
-            try:
-                line = input("> ")
-            except EOFError:
-                break
-            if not line:
-                break
-            text = build_prompt(finetune, line, None) if args.instruct else line
-            ids = tk.tokenize(text)
-            logits = gen.prefill(ids)
-            run_turn(logits)
 
 
 if __name__ == "__main__":

@@ -61,3 +61,38 @@ def test_lora_shape_mismatch(tmp_path):
     lf = lora_mod.read_lora(path)
     with pytest.raises(ValueError):
         lora_mod.apply_to_matrix(np.zeros((4, 8), np.float32), lf, "w.weight")
+
+
+def test_lora_base_model_supplies_base_weights(tmp_path):
+    """--lora-base: the delta is added to the f32 base model's tensor, not
+    the quantized model's dequantized one (libfalcon.cpp:4091-4110)."""
+    hp = FalconHParams.tiny()
+    q_path = str(tmp_path / "quant.ggcc")
+    f_path = str(tmp_path / "f32.ggcc")
+    # same seed -> same underlying weights; one file quantized, one dense
+    write_tiny_model(q_path, hp, ftype_2d=GGMLType.Q4_0, seed=9)
+    write_tiny_model(f_path, hp, ftype_2d=GGMLType.F32, seed=9)
+    mf_q, mf_f = read_model(q_path), read_model(f_path)
+
+    rng = np.random.default_rng(2)
+    r = 2
+    name = "transformer.h.0.mlp.dense_h_to_4h.weight"
+    a = (rng.standard_normal((r, hp.n_embd)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal((hp.n_ff, r)) * 0.1).astype(np.float32)
+    lora_path = str(tmp_path / "adapter.ggla")
+    lora_mod.write_lora(lora_path, r=r, alpha=r,
+                        tensors={name: {"loraA": a, "loraB": b}})
+
+    cfg = EngineConfig(compute_dtype="float32", kernel_layout=False)
+    with_base = load_params(mf_q, cfg, lora=lora_path, lora_base=f_path)
+    w = np.asarray(with_base["layers"]["ffn_up"][0])
+    # base came from the f32 file: delta on the EXACT weights, no quant noise
+    np.testing.assert_allclose(w - mf_f.tensor_f32(name), b @ a, atol=1e-4)
+
+    # without a base, the quantized model warns and uses dequantized values
+    with pytest.warns(UserWarning, match="lora-base"):
+        no_base = load_params(mf_q, cfg, lora=lora_path)
+    w2 = np.asarray(no_base["layers"]["ffn_up"][0])
+    np.testing.assert_allclose(w2 - mf_q.tensor_f32(name), b @ a, atol=1e-4)
+    # the two differ by the quantization error of the base weight
+    assert not np.allclose(w, w2)
