@@ -39,12 +39,44 @@ def _common_part(a: list[int], b: list[int]) -> int:
     return n
 
 
+def _generation_settings(sampler: sampling.SamplerParams, n_predict: int,
+                         n_keep: int, stops: list[bytes]) -> dict:
+    """format_generation_settings analogue (server.cpp:620-645)."""
+    return {
+        "n_predict": n_predict, "n_keep": n_keep,
+        "temp": sampler.temp, "top_k": sampler.top_k, "top_p": sampler.top_p,
+        "tfs_z": sampler.tfs_z, "typical_p": sampler.typical_p,
+        "repeat_last_n": sampler.repeat_last_n,
+        "repeat_penalty": sampler.repeat_penalty,
+        "presence_penalty": sampler.presence_penalty,
+        "frequency_penalty": sampler.frequency_penalty,
+        "mirostat": sampler.mirostat, "mirostat_tau": sampler.mirostat_tau,
+        "mirostat_eta": sampler.mirostat_eta,
+        "penalize_nl": sampler.penalize_nl, "seed": sampler.seed,
+        "stop": [s.decode("utf-8", "replace") for s in stops],
+        "ignore_eos": any(b == float("-inf")
+                          for b in sampler.logit_bias.values()),
+    }
+
+
+def _stop_fields(stop_reason: str, stop_match: bytes | None) -> dict:
+    """The reference's stopped_* booleans (server.cpp:650-662)."""
+    return {
+        "stopped_eos": stop_reason == "eos",
+        "stopped_word": stop_reason == "stop",
+        "stopped_limit": stop_reason == "limit",
+        "stopping_word": (stop_match or b"").decode("utf-8", "replace"),
+    }
+
+
 class ServerState:
     """One engine + its conversation cache, guarded by a lock."""
 
-    def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon"):
+    def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
+                 alias: str = "unknown"):
         self.engine = engine
         self.vocab = vocab
+        self.alias = alias
         self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
         self.lock = threading.Lock()
         self.cache_tokens: list[int] = []
@@ -52,6 +84,11 @@ class ServerState:
     # ------------------------------------------------------------ generate
 
     def sampler_from(self, body: dict) -> sampling.SamplerParams:
+        logit_bias = {int(t): (float("-inf") if b is False else float(b))
+                      for t, b in body.get("logit_bias", [])}
+        if body.get("ignore_eos"):
+            # server.cpp parse_options_completion: logit_bias[eos] = -inf
+            logit_bias[self.tk.eos_id] = float("-inf")
         return sampling.SamplerParams(
             top_k=int(body.get("top_k", 40)),
             top_p=float(body.get("top_p", 0.95)),
@@ -67,8 +104,7 @@ class ServerState:
             mirostat_eta=float(body.get("mirostat_eta", 0.1)),
             penalize_nl=bool(body.get("penalize_nl", True)),
             # [[token_id, bias], ...]; false bans the token (server.cpp parity)
-            logit_bias={int(t): (float("-inf") if b is False else float(b))
-                        for t, b in body.get("logit_bias", [])},
+            logit_bias=logit_bias,
             seed=int(body.get("seed", -1)),
         )
 
@@ -88,12 +124,14 @@ class ServerState:
 
         prompt_ids = self.tk.tokenize(prompt, bos=True)
         n_keep = int(body.get("n_keep", 0)) or cfg.n_ctx // 4
+        truncated = False
         if len(prompt_ids) >= cfg.n_ctx:
             # keep n_keep head + most recent tail (server.cpp truncation);
             # clamp so head + tail + n_predict always fits in n_ctx
             n_keep = max(0, min(n_keep, cfg.n_ctx - n_predict - 1))
             tail = max(1, cfg.n_ctx - n_keep - n_predict)
             prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
+            truncated = True
 
         # prefix reuse against the previous request's tokens
         n_common = _common_part(self.cache_tokens, prompt_ids)
@@ -146,7 +184,13 @@ class ServerState:
         final = {
             "content": "" if emit else out.decode("utf-8", "replace"),
             "stop": True,
+            "model": self.alias,
+            "prompt": prompt,
+            "truncated": truncated,
             "stopped_reason": stop_reason,
+            **_stop_fields(stop_reason, ss.stop_match),
+            "generation_settings": _generation_settings(
+                sampler, n_predict, n_keep, stops),
             "tokens_predicted": tokens_predicted,
             "tokens_evaluated": len(to_eval),
             "timings": {
@@ -169,11 +213,12 @@ class BatchedServerState:
     for the full per-token cascade."""
 
     def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
-                 chunk: int = 8):
+                 chunk: int = 8, alias: str = "unknown"):
         from ggllm_tpu.engine.batching import ContinuousBatcher
 
         self.engine = engine
         self.vocab = vocab
+        self.alias = alias
         self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
         self.batcher = ContinuousBatcher(engine, chunk=chunk)
         self.cv = threading.Condition()
@@ -221,6 +266,8 @@ class BatchedServerState:
             return "typical_p requires --parallel 1"
         if body.get("logit_bias"):
             return "logit_bias requires --parallel 1"
+        if body.get("ignore_eos"):
+            return "ignore_eos requires --parallel 1"
         if not body.get("penalize_nl", True):
             return "penalize_nl=false requires --parallel 1"
         if float(body.get("temperature", 0.8)) > 0 and \
@@ -235,11 +282,13 @@ class BatchedServerState:
         n_predict = int(body.get("n_predict", 128))
         stops = [s.encode() for s in body.get("stop", []) if s]
         prompt_ids = self.tk.tokenize(body.get("prompt", ""), bos=True)
+        truncated = False
         if len(prompt_ids) + n_predict >= cfg.n_ctx:
             n_keep = max(0, min(int(body.get("n_keep", 0)) or cfg.n_ctx // 4,
                                 cfg.n_ctx - n_predict - 1))
             tail = max(1, cfg.n_ctx - n_keep - n_predict)
             prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
+            truncated = True
 
         ss = StopStream(stops)
         q: queue_mod.Queue = queue_mod.Queue()
@@ -302,7 +351,11 @@ class BatchedServerState:
         return {
             "content": "" if emit else out.decode("utf-8", "replace"),
             "stop": True,
+            "model": self.alias,
+            "prompt": body.get("prompt", ""),
+            "truncated": truncated,
             "stopped_reason": outcome["reason"],
+            **_stop_fields(outcome["reason"], ss.stop_match),
             "tokens_predicted": n_out,
             "tokens_evaluated": len(prompt_ids),
             "timings": {
@@ -399,14 +452,15 @@ def make_handler(state: ServerState):
 
 
 def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080,
-          arch: str = "falcon", parallel: int = 1, chunk: int = 8):
+          arch: str = "falcon", parallel: int = 1, chunk: int = 8,
+          alias: str = "unknown"):
     """parallel > 1 serves concurrent requests through the continuous
     batcher (the engine must be built with batch_size=parallel)."""
     if parallel > 1:
         assert engine.batch == parallel, "engine batch_size must match --parallel"
-        state = BatchedServerState(engine, vocab, arch, chunk=chunk)
+        state = BatchedServerState(engine, vocab, arch, chunk=chunk, alias=alias)
     else:
-        state = ServerState(engine, vocab, arch)
+        state = ServerState(engine, vocab, arch, alias=alias)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state
     return httpd
@@ -431,15 +485,23 @@ def main(argv=None):
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
+    ap.add_argument("-a", "--alias", default=None,
+                    help="model name returned in responses (server.cpp "
+                         "model_alias; defaults to the model path)")
+    ap.add_argument("--lora", default=None, help="apply a 'ggla' LoRA adapter")
+    ap.add_argument("--lora-base", default=None,
+                    help="unquantized base model for --lora")
     args = ap.parse_args(argv)
 
     cfg = EngineConfig(n_ctx=args.ctx_size, n_batch=args.batch_size,
                        kv_dtype=args.kv_dtype, compute_dtype=args.compute_dtype,
                        weight_mode=args.weight_mode)
-    mf, params = load_model(args.model, cfg)
+    mf, params = load_model(args.model, cfg, lora=args.lora,
+                            lora_base=args.lora_base)
     engine = FalconEngine(mf.hparams, params, cfg, batch_size=args.parallel)
     httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch,
-                  parallel=args.parallel, chunk=args.decode_chunk)
+                  parallel=args.parallel, chunk=args.decode_chunk,
+                  alias=args.alias or args.model)
     print(f"listening on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

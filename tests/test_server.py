@@ -192,3 +192,44 @@ def test_batched_streaming(batched_server):
             if line.startswith(b"data: "):
                 chunks.append(json.loads(line[6:]))
     assert chunks and chunks[-1]["stop"] is True
+
+
+def test_completion_reference_fields(server):
+    """The reference's response schema (server.cpp:650-662): model alias,
+    prompt echo, truncated, stopped_* booleans, stopping_word,
+    generation_settings."""
+    out = _post(server, "/completion",
+                {"prompt": "the", "n_predict": 3, "temperature": 0})
+    assert out["stopped_limit"] is True
+    assert out["stopped_eos"] is False and out["stopped_word"] is False
+    assert out["stopping_word"] == ""
+    assert out["truncated"] is False
+    assert out["prompt"] == "the"
+    assert "model" in out
+    gs = out["generation_settings"]
+    assert gs["temp"] == 0 and gs["n_predict"] == 3
+    assert gs["ignore_eos"] is False
+
+
+def test_completion_ignore_eos(server):
+    out = _post(server, "/completion",
+                {"prompt": "the", "n_predict": 3, "temperature": 0,
+                 "ignore_eos": True})
+    assert out["generation_settings"]["ignore_eos"] is True
+    assert out["stopped_eos"] is False
+
+
+def test_completion_stopping_word(server):
+    # find what greedy produces, then use its first chars as a stop string
+    free = _post(server, "/completion",
+                 {"prompt": "the", "n_predict": 6, "temperature": 0})
+    text = free["content"]
+    if not text:
+        pytest.skip("tiny model produced no stop-able text")
+    stop = text[: max(1, len(text) // 2)]
+    out = _post(server, "/completion",
+                {"prompt": "the", "n_predict": 6, "temperature": 0,
+                 "stop": [stop]})
+    assert out["stopped_word"] is True
+    assert out["stopping_word"] == stop
+    assert out["stopped_limit"] is False
