@@ -62,12 +62,10 @@ def main():
     print(f"decode-loop compile {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_decode = 256
-    done = 0
     t0 = time.perf_counter()
-    while done < n_decode:
-        toks, _ = engine.decode_chunk(tok, chunk, greedy)
-        tok = int(toks[-1])
-        done += chunk
+    # pipelined: the next chunk dispatches with its first token still on
+    # device, so host/tunnel latency overlaps compute (engine.decode_pipelined)
+    engine.decode_pipelined(tok, n_decode, chunk, greedy)
     dt = time.perf_counter() - t0
     toks = n_decode / dt
 

@@ -474,13 +474,13 @@ class FalconEngine:
 
                 carry, toks = jax.lax.scan(
                     body, (tok, kv, n_past, rng, ring, pos), length=n_steps)
-                _, kv, _, rng, _, _ = carry
-                return toks, kv, rng
+                _, kv, _, rng, ring, pos = carry
+                return toks, kv, rng, ring, pos
 
             if tp:
                 loop = jax.jit(
                     self._tp_wrap(loop_body, ("x", "kv", "x", "x", "x", "x"),
-                                  ("x", "kv", "x")),
+                                  ("x", "kv", "x", "x", "x")),
                     donate_argnums=(2,))
             elif sp:
                 from jax.sharding import PartitionSpec as P
@@ -490,7 +490,7 @@ class FalconEngine:
                 loop = jax.jit(jax.shard_map(
                     loop_body, mesh=self.mesh,
                     in_specs=(pspecs, P(), kvs, P(), P(), P(), P()),
-                    out_specs=(P(), kvs, P()),
+                    out_specs=(P(), kvs, P(), P(), P()),
                     check_vma=False,
                 ), donate_argnums=(2,))
             else:
@@ -523,7 +523,7 @@ class FalconEngine:
         ring = np.full(L, self.hp.n_vocab, dtype=np.int32)  # empty slots
         ring[: len(window)] = window
         t0 = time.perf_counter()
-        toks, kv, rng_key = loop(
+        toks, kv, rng_key, _, _ = loop(
             self.params, jnp.int32(first_token), self.kv,
             jnp.int32(self.n_past), rng_key, jnp.asarray(ring),
             jnp.int32(len(window) % L),
@@ -534,6 +534,66 @@ class FalconEngine:
         self.kv = kv
         self.n_past += n_steps
         return toks, rng_key
+
+    def decode_pipelined(self, first_token: int, n_total: int, n_steps: int,
+                         sampler=None, rng_key=None, last_tokens=None,
+                         on_tokens=None):
+        """n_total tokens in n_steps-sized fused chunks, PIPELINED: the next
+        chunk is dispatched (its first token, penalty ring and rng stay on
+        device) before the previous chunk's tokens are fetched to the host,
+        so device↔host latency overlaps compute. Semantically identical to
+        chained decode_chunk calls (test-enforced).
+
+        on_tokens(np.ndarray) is called per fetched chunk; return False to
+        stop early (chunks already dispatched still advance n_past — use
+        rollback() to discard, as the stop-holdback path does). Returns the
+        full sampled token array."""
+        sampler = sampler or sampling.SamplerParams(temp=0.0)
+        assert n_total >= n_steps and n_total % n_steps == 0, \
+            "n_total must be a positive chunk multiple"
+        assert self.n_past + n_total <= self.cfg.n_ctx, "context overflow"
+        pen_spec = sampling_device.penalty_spec(sampler, self.hp.n_vocab)
+        loop = self._decode_loop_fn(
+            n_steps, float(sampler.temp), int(sampler.top_k),
+            float(sampler.top_p), pen_spec)
+        if rng_key is None:
+            seed = sampler.seed if sampler.seed >= 0 else 0
+            rng_key = jax.random.PRNGKey(seed)
+        L = max(int(sampler.repeat_last_n), 1)
+        window = list(last_tokens) if last_tokens else [int(first_token)]
+        window = window[-min(L, self.cfg.n_ctx):]
+        ring_np = np.full(L, self.hp.n_vocab, dtype=np.int32)
+        ring_np[: len(window)] = window
+        tok = jnp.int32(first_token)
+        ring = jnp.asarray(ring_np)
+        pos = jnp.int32(len(window) % L)
+        t0 = time.perf_counter()
+        out: list[np.ndarray] = []
+        pending = None
+        stopped = False
+        for done in range(0, n_total, n_steps):
+            toks, kv, rng_key, ring, pos = loop(
+                self.params, tok, self.kv, jnp.int32(self.n_past),
+                rng_key, ring, pos)
+            self.kv = kv
+            self.n_past += n_steps
+            tok = toks[-1]  # stays on device: next dispatch needs no fetch
+            if pending is not None:
+                fetched = self._fetch(pending)
+                out.append(fetched)
+                if on_tokens is not None and on_tokens(fetched) is False:
+                    stopped = True
+                    break
+            pending = toks
+        if not stopped:
+            fetched = self._fetch(pending)
+            out.append(fetched)
+            if on_tokens is not None:
+                on_tokens(fetched)
+        n_done = sum(len(o) for o in out)
+        self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_decode += n_done
+        return np.concatenate(out), rng_key
 
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the

@@ -107,3 +107,54 @@ def test_full_vocab_top_k_stays_on_host(engine_factory):
         sampling.SamplerParams(temp=0.8, top_k=0, repeat_penalty=1.0))
     assert device_samplable(
         sampling.SamplerParams(temp=0.0, top_k=0, repeat_penalty=1.0))  # greedy
+
+
+def test_pipelined_matches_chained_chunks(engine_factory):
+    """decode_pipelined == chained decode_chunk calls exactly (same tokens,
+    same final n_past), sampled as well as greedy."""
+    prompt = [5, 17, 130, 42, 99]
+    for sampler in (sampling.SamplerParams(temp=0.0, repeat_penalty=1.0),
+                    sampling.SamplerParams(temp=0.9, top_k=40, seed=7)):
+        eng_a = engine_factory()
+        logits = eng_a.eval(prompt)
+        first = int(np.argmax(logits))
+        chained = []
+        tok, rng = first, None
+        window = prompt + [first]
+        for _ in range(4):
+            toks, rng = eng_a.decode_chunk(tok, 4, sampler, rng_key=rng,
+                                           last_tokens=window)
+            chained.extend(int(t) for t in toks)
+            window.extend(int(t) for t in toks)
+            tok = int(toks[-1])
+
+        eng_b = engine_factory()
+        eng_b.eval(prompt)
+        chunks = []
+        piped, _ = eng_b.decode_pipelined(
+            first, 16, 4, sampler, last_tokens=prompt + [first],
+            on_tokens=lambda a: chunks.append(a))
+        assert [int(t) for t in piped] == chained
+        assert sum(len(c) for c in chunks) == 16
+        assert eng_b.n_past == eng_a.n_past
+
+
+def test_pipelined_early_stop_advances_then_rolls_back(engine_factory):
+    prompt = [5, 17, 130, 42]
+    eng = engine_factory()
+    logits = eng.eval(prompt)
+    first = int(np.argmax(logits))
+    base = eng.n_past
+    seen = []
+
+    def on_tokens(a):
+        seen.append(a)
+        return False  # stop after the first fetched chunk
+
+    out, _ = eng.decode_pipelined(first, 16, 4, last_tokens=prompt + [first],
+                                  on_tokens=on_tokens)
+    assert len(out) == 4 and len(seen) == 1
+    # two chunks were dispatched before the stop was seen
+    assert eng.n_past == base + 8
+    eng.rollback(base + 4)
+    assert eng.n_past == base + 4
