@@ -29,11 +29,12 @@ def main():
     from ggllm_tpu.utils.benchgen import make_bench_params
 
     hp = FalconHParams.falcon7b()
-    # decode_chunk 64: dispatch overhead through the device tunnel is
-    # ~2.5 ms/token at chunk 16; 64 amortizes it (74 -> 88 tok/s measured)
+    # decode_chunk 128: module-boundary overhead through the device tunnel
+    # is ~1.3 ms/token at chunk 16 and ~0.6 at 64; 128 amortizes it
+    # (measured 82/90.4/90.9 tok/s at 64/128/256)
     cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
                        compute_dtype="bfloat16", weight_mode="fused",
-                       decode_chunk=64)
+                       decode_chunk=128)
 
     t0 = time.time()
     params = make_bench_params(hp, GGMLType.Q4_0)

@@ -569,7 +569,8 @@ class FalconEngine:
         pos = jnp.int32(len(window) % L)
         t0 = time.perf_counter()
         out: list[np.ndarray] = []
-        pending = None
+        pending = None  # (tokens, rng after that chunk)
+        rng_done = rng_key  # rng as of the last CONSUMED chunk
         stopped = False
         for done in range(0, n_total, n_steps):
             toks, kv, rng_key, ring, pos = loop(
@@ -579,21 +580,23 @@ class FalconEngine:
             self.n_past += n_steps
             tok = toks[-1]  # stays on device: next dispatch needs no fetch
             if pending is not None:
-                fetched = self._fetch(pending)
+                fetched = self._fetch(pending[0])
                 out.append(fetched)
+                rng_done = pending[1]
                 if on_tokens is not None and on_tokens(fetched) is False:
                     stopped = True
                     break
-            pending = toks
+            pending = (toks, rng_key)
         if not stopped:
-            fetched = self._fetch(pending)
+            fetched = self._fetch(pending[0])
             out.append(fetched)
+            rng_done = pending[1]
             if on_tokens is not None:
                 on_tokens(fetched)
         n_done = sum(len(o) for o in out)
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_decode += n_done
-        return np.concatenate(out), rng_key
+        return np.concatenate(out), rng_done
 
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the

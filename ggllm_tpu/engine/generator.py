@@ -78,8 +78,19 @@ class Generator:
         """Sample up to n_predict tokens; on_token(tok) -> False to stop.
         Returns the stop reason ('limit' | 'eos' | 'callback')."""
         eng, sampler = self.eng, self.sampler
-        n_out = 0
-        pending: list[int] = []
+        st = {"n_out": 0, "reason": None}
+
+        def consume(t: int) -> bool:
+            """Commit one sampled token; False ends the generation."""
+            self.all_tokens.append(t)
+            st["n_out"] += 1
+            if t == self.eos_id:
+                st["reason"] = "eos"
+            elif not on_token(t):
+                st["reason"] = "callback"
+            elif st["n_out"] >= n_predict:
+                st["reason"] = "limit"
+            return st["reason"] is None
 
         # first token after prefill is host-sampled from the prefill logits
         # (exact cascade; the fused loop samples the successors on device)
@@ -89,32 +100,41 @@ class Generator:
         eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
         eng.timings.n_sample += 1
         try:
+            if not consume(tok):
+                return st["reason"]
             while True:
-                self.all_tokens.append(tok)
-                n_out += 1
-                if tok == self.eos_id:
-                    return "eos"
-                if not on_token(tok):
-                    return "callback"
-                if n_out >= n_predict:
-                    return "limit"
-                # produce the next token
-                if pending:
-                    tok = pending.pop(0)
-                    continue
                 if eng.n_past >= eng.cfg.n_ctx:
                     self.pending_feed = [self.all_tokens[-1]]
                     self._swap()
                     self.pending_feed = []
                 if self.fused:
-                    chunk = min(eng.cfg.decode_chunk, n_predict - n_out,
-                                eng.cfg.n_ctx - eng.n_past)
-                    toks, self.rng = eng.decode_chunk(
-                        self.all_tokens[-1], chunk, sampler, self.rng,
-                        last_tokens=self.all_tokens)
-                    eng.timings.n_sample += chunk
-                    pending = list(map(int, toks))
-                    tok = pending.pop(0)
+                    # pipelined chunks: consumption (stop checks, streaming)
+                    # happens per fetched chunk while the next one computes
+                    room = eng.cfg.n_ctx - eng.n_past
+                    rem = n_predict - st["n_out"]
+                    n_steps = min(eng.cfg.decode_chunk, rem, room)
+                    n_chunks = max(1, min(rem // n_steps, room // n_steps))
+                    n_before = eng.n_past
+                    consumed = [0]
+
+                    def on_chunk(arr) -> bool:
+                        eng.timings.n_sample += len(arr)
+                        for t in map(int, arr):
+                            consumed[0] += 1
+                            if not consume(t):
+                                return False
+                        return True
+
+                    _, self.rng = eng.decode_pipelined(
+                        self.all_tokens[-1], n_chunks * n_steps, n_steps,
+                        sampler, self.rng, last_tokens=list(self.all_tokens),
+                        on_tokens=on_chunk)
+                    if st["reason"] is not None:
+                        # un-commit KV positions of tokens never consumed
+                        # (incl. any chunk dispatched past the stop); the
+                        # final consumed token is always left unforwarded
+                        eng.rollback(n_before + consumed[0])
+                        return st["reason"]
                 else:
                     new_logits = eng.eval([self.all_tokens[-1]])
                     t0 = time.perf_counter()
@@ -122,9 +142,7 @@ class Generator:
                                           self.state, eng.cfg.n_ctx)
                     eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
                     eng.timings.n_sample += 1
+                    if not consume(tok):
+                        return st["reason"]
         finally:
-            # un-commit KV positions of fused-decoded tokens never consumed;
-            # the final consumed token is always left unforwarded
-            if pending:
-                self.eng.rollback(self.eng.n_past - len(pending))
             self.pending_feed = [self.all_tokens[-1]]

@@ -28,9 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ggllm_tpu.kernels.layout import FORMATS, KernelQuant
 
 
-def _block_o(ck: int, O: int) -> int:
+def _block_o(ck: int, O: int, S: int = 256, code_bits: int = 8) -> int:
     if O <= 256:
         return O
+    if S <= 16 and ck <= 2304 and code_bits <= 5:
+        # decode matvecs with narrow codes: double the output tile — bigger
+        # DMAs, fewer grid steps (measured +1% at 7B Q4_0; VMEM still fits
+        # because the i32 unpack intermediates stay ≤ (2304, 512))
+        return 512
     return 128 if ck > 4608 else 256
 
 
@@ -121,7 +126,7 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     kp = n_k * ck  # padded contraction dim (kernels/layout.py padded_k)
     if kp != K:
         x = jnp.pad(x, ((0, 0), (0, kp - K)))
-    bo = _block_o(ck, O)
+    bo = _block_o(ck, O, S, sum(b for _, b, _ in spec.planes))
     bs = min(S, 256)
     has_ms = "ms" in kq.planes
     w_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
