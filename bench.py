@@ -21,6 +21,11 @@ BASELINE_TOKS = 45.99  # reference Falcon-7B Q4_1 decode on RTX 4090
 
 def main():
     import jax
+
+    # persistent compile cache: first compiles through the device tunnel can
+    # take minutes; repeated bench runs should not pay twice
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from ggllm_tpu.core.config import EngineConfig, FalconHParams

@@ -1,13 +1,22 @@
 """40B-geometry per-layer decode cost (reduced depth — full 40B exceeds one
-chip's 15.75GB HBM; per-layer cost extrapolates to the 60-layer number)."""
+chip's 15.75GB HBM; the MARGINAL per-layer cost between two depths isolates
+layer streaming from fixed costs (lm_head/embedding/sampling/dispatch) and
+extrapolates to the 60-layer number).
+
+Usage: python experiments/bench_40b_layer.py [q4_k] [--profile]
+"""
 
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import numpy as np
 
 from ggllm_tpu.core.config import EngineConfig, FalconHParams
 from ggllm_tpu.core.dtypes import GGMLType, type_from_name
@@ -15,44 +24,44 @@ from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.ops import sampling
 from ggllm_tpu.utils.benchgen import make_bench_params
 
-gtype = type_from_name(sys.argv[1]) if len(sys.argv) > 1 else GGMLType.Q4_K
-L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+gtype = type_from_name(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    else GGMLType.Q4_K
 PROFILE = "--profile" in sys.argv
-
-hp = FalconHParams.falcon40b()
-hp.n_layer = L
-cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
-                   compute_dtype="bfloat16", weight_mode="fused")
-
-t0 = time.time()
-params = jax.device_put(make_bench_params(hp, gtype))
-print(f"params {time.time()-t0:.1f}s backend={jax.default_backend()}", flush=True)
-
-eng = FalconEngine(hp, params, cfg)
-rng = np.random.default_rng(0)
-eng.eval(rng.integers(0, hp.n_vocab, 128).tolist())
+CHUNK = 64
 
 greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
-t0 = time.time()
-eng.decode_chunk(3, 16, greedy)
-print(f"decode compile {time.time()-t0:.1f}s", flush=True)
+res = {}
+eng = None
+for L in (4, 8):
+    hp = FalconHParams.falcon40b()
+    hp.n_layer = L
+    cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
+                       compute_dtype="bfloat16", weight_mode="fused",
+                       decode_chunk=CHUNK)
+    params = jax.device_put(make_bench_params(hp, gtype))
+    eng = FalconEngine(hp, params, cfg)
+    eng.eval(np.random.default_rng(0).integers(0, hp.n_vocab, 128).tolist())
+    t0 = time.time()
+    eng.decode_chunk(3, CHUNK, greedy)
+    print(f"L={L} decode compile {time.time() - t0:.1f}s", flush=True)
+    eng.rollback(128)
+    N = 256
+    t0 = time.perf_counter()
+    eng.decode_pipelined(3, N, CHUNK, greedy)
+    dt = time.perf_counter() - t0
+    res[L] = dt / N * 1e3
+    print(f"{gtype.name} L={L}: {res[L]:.3f} ms/token", flush=True)
+    if L != 8:
+        del eng, params
 
-N = 96
-tok, done = 3, 0
-t0 = time.perf_counter()
-while done < N:
-    toks, _ = eng.decode_chunk(tok, 16, greedy)
-    tok = int(toks[-1])
-    done += 16
-dt = time.perf_counter() - t0
-ms_tok = dt / N * 1e3
-# subtract the non-layer cost (embed+norm+lm_head+sampling) estimated from a
-# second, shallower run? keep simple: report raw per-layer
-print(f"{gtype.name} L={L}: {ms_tok:.3f} ms/token -> {ms_tok/L:.4f} ms/layer; "
-      f"60-layer extrapolation {1000/(ms_tok/L*60):.2f} tok/s", flush=True)
+marg = (res[8] - res[4]) / 4
+full = res[8] + marg * 52
+print(f"{gtype.name} marginal {marg:.3f} ms/layer; 60-layer estimate "
+      f"{full:.2f} ms/token = {1000 / full:.2f} tok/s "
+      f"(reference 2xGPU baseline: 18.31)", flush=True)
 
-if PROFILE:
+if PROFILE and eng is not None:
     jax.profiler.start_trace("/tmp/trace40b")
-    eng.decode_chunk(tok, 16, greedy)
+    eng.decode_chunk(3, CHUNK, greedy)
     jax.profiler.stop_trace()
     print("trace at /tmp/trace40b")

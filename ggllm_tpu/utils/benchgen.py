@@ -75,11 +75,15 @@ def make_bench_params(
     gtype: GGMLType = GGMLType.Q4_0,
     compute_dtype=jnp.bfloat16,
     kernel: bool | None = None,
+    distinct: bool = False,
 ):
     """Full parameter pytree at hp's scale with quantized 2-D weights.
 
     kernel=None: auto — fused-kernel layout (KernelQuant) on TPU, planar
     QuantTensors elsewhere.
+    distinct=True gives every layer its own device buffers (like a real
+    checkpoint) instead of aliasing one prototype layer — use to validate
+    that buffer sharing doesn't flatter HBM-bandwidth measurements.
     """
     import jax
 
@@ -115,24 +119,30 @@ def make_bench_params(
     n_qkv = (H + 2 * KV) * D
     if kernel:
         # merged, UNSTACKED layout: list of per-layer dicts, one buffer per
-        # weight (io/loader; decode unrolls, no scan slice copies). The
-        # random planes are built once and shared across layers — bench
-        # cares about bytes streamed, not values.
-        proto = {
-            "input_ln_w": jnp.ones(E, jnp.float32),
-            "input_ln_b": jnp.zeros(E, jnp.float32),
-            "w_od": to_device(qw(E, H * D + F)),
-        }
-        if parallel_norms:
-            proto["wqkv"] = to_device(qw(n_qkv, E))
-            proto["ffn_up"] = to_device(qw(F, E))
-            proto["attn_ln_w"] = jnp.ones(E, jnp.float32)
-            proto["attn_ln_b"] = jnp.zeros(E, jnp.float32)
+        # weight (io/loader; decode unrolls, no scan slice copies). By
+        # default the random planes are built once and shared across layers
+        # — bench cares about bytes streamed, not values (validated: the
+        # distinct=True variant measures the same decode throughput).
+        def build_layer():
+            lw = {
+                "input_ln_w": jnp.ones(E, jnp.float32),
+                "input_ln_b": jnp.zeros(E, jnp.float32),
+                "w_od": to_device(qw(E, H * D + F)),
+            }
+            if parallel_norms:
+                lw["wqkv"] = to_device(qw(n_qkv, E))
+                lw["ffn_up"] = to_device(qw(F, E))
+                lw["attn_ln_w"] = jnp.ones(E, jnp.float32)
+                lw["attn_ln_b"] = jnp.zeros(E, jnp.float32)
+            else:
+                lw["wqkvu"] = to_device(qw(n_qkv + F, E))
+            return lw
+
+        if distinct:
+            layers = [build_layer() for _ in range(L)]
         else:
-            proto["wqkvu"] = to_device(qw(n_qkv + F, E))
-        # layers share buffers: HBM traffic per layer is identical to
-        # distinct weights, which is what the bench measures
-        layers = [dict(proto) for _ in range(L)]
+            proto = build_layer()
+            layers = [dict(proto) for _ in range(L)]
     else:
         layers = {
             "input_ln_w": jnp.ones((L, E), jnp.float32),

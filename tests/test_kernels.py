@@ -50,6 +50,7 @@ def test_fused_matmul_parity(gtype, xdtype):
 def test_fused_matmul_chunked(monkeypatch):
     """k-chunked grid (n_k > 1) accumulates correctly."""
     monkeypatch.setattr(layout, "CK_MAX", 128)
+    monkeypatch.setattr(layout, "CK_MAX_NARROW", 128)
     O, K, S = 64, 512, 3
     qt = make_weight(GGMLType.Q4_0, O, K)
     kq = layout.to_kernel(GGMLType.Q4_0, qt.planes, qt.shape)
