@@ -5,6 +5,10 @@ import time
 
 sys.path.insert(0, ".")
 
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np
 import jax
 

@@ -5,8 +5,9 @@ Usage: python scripts/bench_batched.py [B] [--profile]
 
 History: r1 vmap'd per-row KV writes lowered to XLA copy cascades (80% of
 step time, 123-235 tok/s aggregate at B=8); r2 defers all layers' writes to
-one scatter with append-aware attention -> 474 tok/s (59 steps/s, ~1.25x a
-single-stream step for 8 rows).
+one scatter with append-aware attention -> 474 tok/s; with the 4608-column
+kernel chunks -> 511 tok/s (64 steps/s, ~1.5x a single-stream step for 8
+rows).
 """
 
 import sys
