@@ -125,15 +125,23 @@ class Generator:
                                 return False
                         return True
 
-                    _, self.rng = eng.decode_pipelined(
-                        self.all_tokens[-1], n_chunks * n_steps, n_steps,
-                        sampler, self.rng, last_tokens=list(self.all_tokens),
-                        on_tokens=on_chunk)
+                    ok = False
+                    try:
+                        _, self.rng = eng.decode_pipelined(
+                            self.all_tokens[-1], n_chunks * n_steps, n_steps,
+                            sampler, self.rng,
+                            last_tokens=list(self.all_tokens),
+                            on_tokens=on_chunk)
+                        ok = True
+                    finally:
+                        if (not ok or st["reason"] is not None) \
+                                and eng.n_past > n_before + consumed[0]:
+                            # un-commit KV positions of tokens never consumed
+                            # (incl. any chunk dispatched past the stop or an
+                            # on_token exception); the final consumed token is
+                            # always left unforwarded
+                            eng.rollback(n_before + consumed[0])
                     if st["reason"] is not None:
-                        # un-commit KV positions of tokens never consumed
-                        # (incl. any chunk dispatched past the stop); the
-                        # final consumed token is always left unforwarded
-                        eng.rollback(n_before + consumed[0])
                         return st["reason"]
                 else:
                     new_logits = eng.eval([self.all_tokens[-1]])
