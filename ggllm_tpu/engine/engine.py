@@ -349,13 +349,18 @@ class FalconEngine:
         step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
         while i < tokens.size:
             chunk = tokens[i : i + step]
-            out.append(self._eval_chunk(chunk, logits_all))
+            last = i + chunk.size >= tokens.size
+            # non-final chunks of a logits_all=False prefill: nothing to
+            # fetch — dispatch and move on (chunks pipeline on device)
+            out.append(self._eval_chunk(chunk, logits_all,
+                                        fetch=logits_all or last))
             i += chunk.size
         if logits_all:
             return np.concatenate(out, axis=0)
         return out[-1]
 
-    def _eval_chunk(self, chunk: np.ndarray, logits_all: bool) -> np.ndarray:
+    def _eval_chunk(self, chunk: np.ndarray, logits_all: bool,
+                    fetch: bool = True) -> np.ndarray:
         n = chunk.size
         assert self.n_past + n <= self.cfg.n_ctx, "context overflow"
         pad = _bucket(n, self.cfg.n_batch)
@@ -367,7 +372,8 @@ class FalconEngine:
             self.params, jnp.asarray(buf), self.kv,
             jnp.int32(self.n_past), jnp.int32(n - 1),
         )
-        logits = self._fetch(logits).astype(np.float32)
+        if fetch:
+            logits = self._fetch(logits).astype(np.float32)
         dt = (time.perf_counter() - t0) * 1e6
         if n > 1:
             self.timings.t_prefill_us += dt
@@ -377,6 +383,8 @@ class FalconEngine:
             self.timings.n_decode += 1
         self.kv = kv
         self.n_past += n
+        if not fetch:
+            return None
         if logits_all:
             return logits[0, :n]
         return logits[0, 0]  # single dynamic-sliced position
