@@ -144,9 +144,13 @@ def llama_forward(
     layers = params["layers"]
     n_past_arr = jnp.asarray(n_past, jnp.int32)
     if isinstance(layers, (list, tuple)) or unroll:
-        # per-row n_past decode defers KV writes to one scatter (see
-        # falcon_forward: per-layer scatters materialize XLA copies)
-        defer = n_past_arr.ndim > 0 and tokens.shape[1] == 1
+        # ALL decode (scalar n_past too) defers KV writes to one scatter.
+        # Unlike Falcon (1 MQA head), LLaMA's (KV=32, D=128) cache tail gives
+        # XLA two tiling choices, and per-layer in-loop writes made it
+        # ping-pong the WHOLE 1.3 GB cache between layouts ~3x per layer per
+        # token (628 ms/token measured); reading the cache + appending the
+        # current block, with one scatter at the end, keeps one layout.
+        defer = tokens.shape[1] == 1
         deferred = []
         for l in range(st.n_layer):
             lw = layers[l] if isinstance(layers, (list, tuple)) else \

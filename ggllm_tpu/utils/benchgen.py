@@ -165,3 +165,43 @@ def make_bench_params(
         "lm_head": to_device(qw(V, E)),
         "layers": layers,
     }
+
+
+def make_llama_bench_params(
+    hp,
+    gtype: GGMLType = GGMLType.Q4_0,
+    compute_dtype=jnp.bfloat16,
+):
+    """LLaMA-geometry parameter pytree in the merged kernel layout
+    (io/loader._load_llama_params keys: wqkv = [wq;wk;wv] rows,
+    w13 = [gate;up] rows, wo, w2)."""
+    import jax
+
+    from ggllm_tpu.kernels import layout as klayout
+
+    assert jax.default_backend() == "tpu" or True
+    E, F, V, L = hp.n_embd, hp.n_ff, hp.n_vocab, hp.n_layer
+
+    def qw(out, cols):
+        qt = random_quant_tensor(gtype, out, cols)
+        return klayout.to_kernel(gtype, qt.planes, qt.shape)
+
+    def dev(kq):
+        return klayout.KernelQuant(
+            kq.gtype, kq.shape, kq.ck,
+            {k: jnp.asarray(v) for k, v in kq.planes.items()})
+
+    proto = {
+        "attn_norm": jnp.ones(E, jnp.float32),
+        "ffn_norm": jnp.ones(E, jnp.float32),
+        "wqkv": dev(qw(3 * E, E)),
+        "w13": dev(qw(2 * F, E)),
+        "wo": dev(qw(E, E)),
+        "w2": dev(qw(E, F)),
+    }
+    return {
+        "tok_embeddings": jnp.asarray(_tiled_random((V, E)), dtype=compute_dtype),
+        "output_norm": jnp.ones(E, jnp.float32),
+        "lm_head": dev(qw(V, E)),
+        "layers": [dict(proto) for _ in range(L)],
+    }
