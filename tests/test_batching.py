@@ -102,3 +102,38 @@ def test_batched_decode_unrolled_kernel_layout(model):
     ref = _sequential_reference(model, PROMPTS[:4], 10)
     for req, expected in zip(reqs, ref):
         assert req.out == expected
+
+
+def test_batched_llama_matches_sequential(tmp_path_factory):
+    """Continuous batching is arch-neutral: LLaMA rows decode together and
+    match sequential generation exactly (the reference's server family)."""
+    from ggllm_tpu.core.config import LlamaHParams
+    from ggllm_tpu.utils.synthetic import write_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("cbl") / "tiny.ggjt")
+    write_tiny_llama(path, LlamaHParams.tiny(), ftype_2d=GGMLType.Q8_0,
+                     seed=23)
+    model = read_model(path)
+    prompts = PROMPTS[:3]
+    n_predict = 12
+
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    ref = []
+    for p in prompts:
+        eng = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg())
+        ref.append(eng.generate(p, n_predict=n_predict, sampler=greedy))
+
+    eng = FalconEngine(model.hparams, load_params(model, _cfg()), _cfg(),
+                       batch_size=2)
+    cb = ContinuousBatcher(eng, chunk=4)
+    outs = {}
+    for i, p in enumerate(prompts):
+        cb.submit(Request(prompt_ids=list(p), n_predict=n_predict,
+                          temp=0.0, repeat_penalty=1.0,
+                          on_done=(lambda i=i: None)))
+    reqs = list(cb.queue)
+    while cb.queue or cb.active:
+        cb.step()
+    for i, r in enumerate(reqs):
+        outs[i] = r.out
+    assert [outs[i] for i in range(len(prompts))] == ref
