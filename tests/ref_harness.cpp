@@ -96,6 +96,52 @@ int main(int argc, char **argv) {
         return 0;
     }
 
+    if (cmd == "generate") {
+        // greedy decode: eval the prompt in n_batch chunks, then argmax one
+        // token at a time through the incremental KV path (the falcon_main
+        // generation loop shape, falcon_main.cpp:820-1056, temp=0)
+        const int n_gen = argc > 7 ? atoi(argv[7]) : 16;
+        std::string blob = read_file(in_path);
+        const int n_prompt = (int)(blob.size() / sizeof(int32_t));
+        std::vector<falcon_token> ids(n_prompt);
+        memcpy(ids.data(), blob.data(), blob.size());
+        const int n_vocab = falcon_n_vocab(ctx);
+
+        int n_past = 0;
+        for (int start = 0; start < n_prompt; start += n_batch) {
+            const int bs = n_prompt - start < n_batch ? n_prompt - start : n_batch;
+            falcon_evaluation_config cfg;
+            cfg.n_tokens = bs;
+            cfg.n_past = n_past;
+            cfg.n_threads = 2;
+            if (falcon_eval(ctx, ids.data() + start, cfg)) return 1;
+            n_past += bs;
+        }
+        std::vector<falcon_token> out;
+        falcon_token tok = ids.back();
+        for (int i = 0; i < n_gen; i++) {
+            const float *logits = falcon_get_logits(ctx);
+            const float *row = logits + (size_t)(i == 0 ? (n_prompt - 1) % n_batch
+                                                        : 0) * n_vocab;
+            falcon_token best = 0;
+            for (int v = 1; v < n_vocab; v++)
+                if (row[v] > row[best]) best = v;
+            out.push_back(best);
+            tok = best;
+            falcon_evaluation_config cfg;
+            cfg.n_tokens = 1;
+            cfg.n_past = n_past;
+            cfg.n_threads = 2;
+            if (falcon_eval(ctx, &tok, cfg)) return 1;
+            n_past += 1;
+        }
+        FILE *f = fopen(out_path, "wb");
+        fwrite(out.data(), sizeof(falcon_token), out.size(), f);
+        fclose(f);
+        fprintf(stderr, "generated %d tokens\n", n_gen);
+        return 0;
+    }
+
     fprintf(stderr, "unknown command %s\n", cmd.c_str());
     return 2;
 }

@@ -221,3 +221,40 @@ def test_perplexity_protocol_parity(harness, tmp_path, ftype, tol):
     ppl_ref = _ppl(ref, ids, n_ctx)
     ppl_ours = _ppl(ours, ids, n_ctx)
     assert abs(ppl_ours - ppl_ref) / ppl_ref < tol, (ppl_ours, ppl_ref)
+
+
+# -------------------------------------------------------------- generation
+
+
+def test_greedy_generation_parity(harness, tmp_path):
+    """Greedy generation is id-identical to the reference binary: the
+    reference's incremental single-token KV path (falcon_main.cpp:820-1056,
+    temp=0 argmax) vs OUR fused on-device decode loop, on the same f32 GGCC
+    file. This exercises the n_past>0 decode path end-to-end, not just
+    batched logits."""
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.io.loader import load_params
+    from ggllm_tpu.io.ggcc import read_model
+    from ggllm_tpu.ops import sampling
+
+    tmp = str(tmp_path)
+    model = _write_model(tmp, FalconHParams.tiny(), GGMLType.F32, seed=13)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, 512, size=40).tolist()
+    n_ctx, n_batch, n_gen = 128, 32, 24
+
+    ids_f = os.path.join(tmp, "gen_ids.bin")
+    np.asarray(prompt, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "gen_out.bin")
+    _run(harness, model, "generate", ids_f, out_f, n_ctx, n_batch, n_gen)
+    ref = np.fromfile(out_f, np.int32).tolist()
+    assert len(ref) == n_gen
+
+    mf = read_model(model)
+    cfg = EngineConfig(n_ctx=n_ctx, n_batch=n_batch, kv_dtype="float32",
+                       compute_dtype="float32")
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    ours = eng.generate(prompt, n_predict=n_gen, sampler=greedy)
+    assert ours == ref
