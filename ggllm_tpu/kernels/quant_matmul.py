@@ -59,7 +59,10 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             unp = v
         else:
             mask = (1 << bits) - 1
-            parts = [(v >> (i * bits)) & mask for i in range(8 // bits)]
+            n_parts = 8 // bits
+            # the top field needs no mask: v < 256, so v >> (8-bits) is clean
+            parts = [(v >> (i * bits)) & mask if i < n_parts - 1
+                     else v >> (i * bits) for i in range(n_parts)]
             unp = jnp.concatenate(parts, axis=0)  # (ck, bo)
         if shift:
             unp = unp << shift
@@ -84,6 +87,11 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
     if spec.offset:  # offset-only formats: integer add, no min plane
         q = q + jnp.int32(spec.offset)
 
+    # dequant arithmetic stays f32: a bf16-domain variant (half vector
+    # width) was tried and measured SLOWER on this chip (98 -> 79 tok/s,
+    # Mosaic relayout costs for bf16 elementwise outweigh the width win)
+    dq = jnp.float32
+
     if spec.two_level:
         # super-block fp16 d (per 256) x integer sub-scales (per group):
         # the f32 product is exactly the reference's effective scale
@@ -100,13 +108,15 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             if spec.has_min:
                 dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
                 ms_g = dmin * sc_refs["scm"][0].astype(jnp.float32)
-        w = q.astype(jnp.float32) * jnp.repeat(ds_g, spec.group, axis=0)
+        w = q.astype(dq) * jnp.repeat(ds_g.astype(dq), spec.group, axis=0)
         if ms_g is not None:
-            w = w - jnp.repeat(ms_g, spec.group, axis=0)
+            w = w - jnp.repeat(ms_g.astype(dq), spec.group, axis=0)
     else:
-        w = q.astype(jnp.float32) * jnp.repeat(scales(sc_refs["ds"]), spec.group, axis=0)
+        w = q.astype(dq) * jnp.repeat(
+            scales(sc_refs["ds"]).astype(dq), spec.group, axis=0)
         if has_ms:
-            w = w - jnp.repeat(scales(sc_refs["ms"]), spec.group, axis=0)
+            w = w - jnp.repeat(scales(sc_refs["ms"]).astype(dq),
+                               spec.group, axis=0)
     acc = jax.lax.dot_general(
         x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

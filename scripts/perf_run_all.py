@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import jax as _jx
+_jx.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+_jx.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax  # noqa: E402
 
 from ggllm_tpu.core.config import EngineConfig, FalconHParams  # noqa: E402
@@ -41,13 +45,11 @@ def bench_type(gtype: GGMLType, hp, cfg, n_decode: int, n_prefill: int):
     t_prefill = time.perf_counter() - t0
 
     greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
-    eng.decode_chunk(3, 16, greedy)  # compile
-    tok, done = 3, 0
+    chunk = 64
+    eng.decode_chunk(3, chunk, greedy)  # compile
+    eng.rollback(n_prefill)
     t0 = time.perf_counter()
-    while done < n_decode:
-        toks, _ = eng.decode_chunk(tok, 16, greedy)
-        tok = int(toks[-1])
-        done += 16
+    eng.decode_pipelined(3, n_decode, chunk, greedy)
     t_decode = time.perf_counter() - t0
     del params, eng
     return n_prefill / t_prefill, n_decode / t_decode
@@ -56,7 +58,7 @@ def bench_type(gtype: GGMLType, hp, cfg, n_decode: int, n_prefill: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--types", default=DEFAULT_TYPES)
-    ap.add_argument("--n-decode", type=int, default=64)
+    ap.add_argument("--n-decode", type=int, default=128)
     ap.add_argument("--n-prefill", type=int, default=512)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--model-size", default="7b", choices=["7b", "40b"])
