@@ -22,7 +22,7 @@ from ggllm_tpu.utils.benchgen import make_llama_bench_params
 hp = LlamaHParams.llama7b()
 cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
                    compute_dtype="bfloat16", weight_mode="fused",
-                   decode_chunk=64)
+                   decode_chunk=128)
 t0 = time.time()
 params = jax.device_put(make_llama_bench_params(hp, GGMLType.Q4_0))
 print(f"params {time.time() - t0:.1f}s backend={jax.default_backend()}",
@@ -41,12 +41,12 @@ print(f"prefill 512: {512 / dt:.0f} tok/s", flush=True)
 
 greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
 t0 = time.time()
-eng.decode_chunk(3, 64, greedy)
+eng.decode_chunk(3, 128, greedy)
 print(f"decode compile {time.time() - t0:.1f}s", flush=True)
 eng.rollback(512)
 N = 512
 t0 = time.perf_counter()
-eng.decode_pipelined(3, N, 64, greedy)
+eng.decode_pipelined(3, N, 128, greedy)
 dt = time.perf_counter() - t0
 print(f"llama7b q4_0 decode: {N / dt:.2f} tok/s ({dt / N * 1e3:.2f} ms/tok)",
       flush=True)
