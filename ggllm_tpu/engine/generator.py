@@ -127,10 +127,12 @@ class Generator:
 
                     ok = False
                     try:
+                        # only the penalty window's worth of history matters
+                        win = max(int(sampler.repeat_last_n), 1)
                         _, self.rng = eng.decode_pipelined(
                             self.all_tokens[-1], n_chunks * n_steps, n_steps,
                             sampler, self.rng,
-                            last_tokens=list(self.all_tokens),
+                            last_tokens=self.all_tokens[-win:],
                             on_tokens=on_chunk)
                         ok = True
                     finally:

@@ -395,6 +395,15 @@ def load_params(
             for name in lora.tensors
         )
         if lora_base is not None:
+            # the reference errors when a patched tensor is absent from the
+            # base model (libfalcon.cpp:4095-4098) rather than silently
+            # falling back to the quantized model's dequantized values
+            missing = [n for n in lora.tensors
+                       if n in mf.tensors and n not in lora_base.tensors]
+            if missing:
+                raise ValueError(
+                    f"--lora-base model is missing LoRA-patched tensor(s) "
+                    f"{missing[:3]}{'...' if len(missing) > 3 else ''}")
             mf = _with_lora_base(mf, lora_base, set(lora.tensors))
         elif quantized_patch:
             import warnings

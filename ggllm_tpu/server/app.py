@@ -40,7 +40,8 @@ def _common_part(a: list[int], b: list[int]) -> int:
 
 
 def _generation_settings(sampler: sampling.SamplerParams, n_predict: int,
-                         n_keep: int, stops: list[bytes]) -> dict:
+                         n_keep: int, stops: list[bytes],
+                         eos_id: int) -> dict:
     """format_generation_settings analogue (server.cpp:620-645)."""
     return {
         "n_predict": n_predict, "n_keep": n_keep,
@@ -54,8 +55,8 @@ def _generation_settings(sampler: sampling.SamplerParams, n_predict: int,
         "mirostat_eta": sampler.mirostat_eta,
         "penalize_nl": sampler.penalize_nl, "seed": sampler.seed,
         "stop": [s.decode("utf-8", "replace") for s in stops],
-        "ignore_eos": any(b == float("-inf")
-                          for b in sampler.logit_bias.values()),
+        # server.cpp: specifically whether the EOS logit is banned
+        "ignore_eos": sampler.logit_bias.get(eos_id) == float("-inf"),
     }
 
 
@@ -190,7 +191,7 @@ class ServerState:
             "stopped_reason": stop_reason,
             **_stop_fields(stop_reason, ss.stop_match),
             "generation_settings": _generation_settings(
-                sampler, n_predict, n_keep, stops),
+                sampler, n_predict, n_keep, stops, self.tk.eos_id),
             "tokens_predicted": tokens_predicted,
             "tokens_evaluated": len(to_eval),
             "timings": {
@@ -348,6 +349,15 @@ class BatchedServerState:
         dt = time.perf_counter() - t0
         out = b"".join(parts)
         n_out = len(req.out)
+        # batched-mode settings echo: same schema as the single-stream path
+        # (the batched sampler covers a subset; unsupported knobs were
+        # rejected up front, so defaults here are accurate)
+        gs_sampler = sampling.SamplerParams(
+            temp=req.temp, top_p=req.top_p, top_k=req.top_k,
+            repeat_penalty=req.repeat_penalty,
+            frequency_penalty=req.frequency_penalty,
+            presence_penalty=req.presence_penalty,
+            seed=int(body.get("seed", -1)))
         return {
             "content": "" if emit else out.decode("utf-8", "replace"),
             "stop": True,
@@ -356,6 +366,9 @@ class BatchedServerState:
             "truncated": truncated,
             "stopped_reason": outcome["reason"],
             **_stop_fields(outcome["reason"], ss.stop_match),
+            "generation_settings": _generation_settings(
+                gs_sampler, n_predict, int(body.get("n_keep", 0)), stops,
+                self.tk.eos_id),
             "tokens_predicted": n_out,
             "tokens_evaluated": len(prompt_ids),
             "timings": {

@@ -177,6 +177,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         ("--main-gpu", {"type": int}),
                         ("--gpu-reserve-mb-main", {"type": int}),
                         ("--mlock", {"action": "store_true"}),
+                        ("--low-vram", {"action": "store_true"}),
                         ("--no-mmap", {"action": "store_true"})):
         ap.add_argument(flag, dest="_compat", help=argparse.SUPPRESS, **extra)
     ap.add_argument("--memory-f32", action="store_true",
@@ -433,7 +434,12 @@ def main(argv=None):
         print()
         return reason
 
-    if not args.interactive_first:
+    # prefill logits not yet consumed by a generation turn (interactive-first
+    # defers the first turn until the user has spoken — or pressed Enter)
+    pending_logits = None
+    if args.interactive_first:
+        pending_logits = logits
+    else:
         run_turn(logits)
 
     if args.interactive:
@@ -464,10 +470,14 @@ def main(argv=None):
                 ids = tk.tokenize(text)
                 verbose_tokens(ids, "input")
                 logits = gen.prefill(ids)
+            elif pending_logits is not None:
+                # interactive-first + empty input: generate from the prompt
+                logits = pending_logits
             elif gen.pending_feed:
                 logits = gen.prefill([])  # continue the generation
             else:
                 continue
+            pending_logits = None
             run_turn(logits)
 
     if args.profile:

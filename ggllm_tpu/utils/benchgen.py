@@ -175,11 +175,8 @@ def make_llama_bench_params(
     """LLaMA-geometry parameter pytree in the merged kernel layout
     (io/loader._load_llama_params keys: wqkv = [wq;wk;wv] rows,
     w13 = [gate;up] rows, wo, w2)."""
-    import jax
-
     from ggllm_tpu.kernels import layout as klayout
 
-    assert jax.default_backend() == "tpu" or True
     E, F, V, L = hp.n_embd, hp.n_ff, hp.n_vocab, hp.n_layer
 
     def qw(out, cols):

@@ -173,3 +173,19 @@ def test_prompt_cache_ro_never_writes(tiny_model, tmp_path, capsysbinary):
     run_cli(tiny_model, "-p", "the cat", "-n", "2",
             "--prompt-cache", str(sess), "--prompt-cache-ro")
     assert not sess.exists()
+
+
+def test_interactive_first_empty_input_generates(tiny_model, capsysbinary,
+                                                 monkeypatch):
+    """Empty first input under --interactive-first generates from the prompt
+    (reference behavior) instead of silently re-prompting."""
+    feed_input(monkeypatch, [""])
+    run_cli(tiny_model, "-p", "the", "-n", "3", "--interactive-first")
+    out = capsysbinary.readouterr().out
+    # prompt echo plus at least one generated byte
+    assert out.startswith(b"the") and len(out) > len(b"the\n")
+
+
+def test_compat_low_vram(tiny_model, capsysbinary):
+    run_cli(tiny_model, "-p", "the", "-n", "2", "--low-vram")
+    assert capsysbinary.readouterr().out.startswith(b"the")

@@ -233,3 +233,19 @@ def test_completion_stopping_word(server):
     assert out["stopped_word"] is True
     assert out["stopping_word"] == stop
     assert out["stopped_limit"] is False
+
+
+def test_ignore_eos_reports_eos_specifically(server):
+    # a non-EOS ban must NOT report ignore_eos (server.cpp checks eos only)
+    out = _post(server, "/completion",
+                {"prompt": "the", "n_predict": 2, "temperature": 0,
+                 "logit_bias": [[5, False]]})
+    assert out["generation_settings"]["ignore_eos"] is False
+
+
+def test_batched_response_has_generation_settings(batched_server):
+    out = _post(batched_server, "/completion",
+                {"prompt": "the", "n_predict": 3, "temperature": 0})
+    gs = out["generation_settings"]
+    assert gs["n_predict"] == 3 and gs["temp"] == 0
+    assert out["stopped_limit"] is True
