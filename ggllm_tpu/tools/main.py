@@ -163,6 +163,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="use the session file read-only, never update it")
     ap.add_argument("--verbose-prompt", action="store_true",
                     help="print the tokenization of every ingested prompt")
+    ap.add_argument("--embedding", action="store_true",
+                    help="print the prompt's final hidden state and exit "
+                         "(the examples/embedding mode)")
     ap.add_argument("--mtest", action="store_true",
                     help="compute maximum-memory usage (full-batch prefill + "
                          "one decode step), report, and exit")
@@ -360,6 +363,11 @@ def main(argv=None):
             print(f"{tid:6d} -> '{s}'", file=sys.stderr)
 
     verbose_tokens(prompt_ids, "prompt")
+
+    if args.embedding:
+        emb = engine.embed(prompt_ids)
+        print(" ".join(f"{v:.6f}" for v in emb))
+        return 0
 
     def set_color(code: str):
         if args.color:

@@ -189,3 +189,10 @@ def test_interactive_first_empty_input_generates(tiny_model, capsysbinary,
 def test_compat_low_vram(tiny_model, capsysbinary):
     run_cli(tiny_model, "-p", "the", "-n", "2", "--low-vram")
     assert capsysbinary.readouterr().out.startswith(b"the")
+
+
+def test_embedding_mode(tiny_model, capsysbinary):
+    assert run_cli(tiny_model, "-p", "the", "--embedding") == 0
+    out = capsysbinary.readouterr().out.split()
+    assert len(out) == 128  # tiny n_embd
+    float(out[0])  # parses as numbers
