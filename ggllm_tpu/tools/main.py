@@ -163,6 +163,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="use the session file read-only, never update it")
     ap.add_argument("--verbose-prompt", action="store_true",
                     help="print the tokenization of every ingested prompt")
+    ap.add_argument("--perplexity", action="store_true",
+                    help="compute perplexity over -f FILE and exit (the "
+                         "falcon_perplexity protocol)")
     ap.add_argument("--embedding", action="store_true",
                     help="print the prompt's final hidden state and exit "
                          "(the examples/embedding mode)")
@@ -367,6 +370,17 @@ def main(argv=None):
     if args.embedding:
         emb = engine.embed(prompt_ids)
         print(" ".join(f"{v:.6f}" for v in emb))
+        return 0
+
+    if args.perplexity:
+        # falcon_main's --perplexity mode delegates to the perplexity
+        # protocol over the -f text (falcon_perplexity.cpp:28-115)
+        from ggllm_tpu.engine.perplexity import perplexity as ppl_run
+
+        tokens = tk.tokenize(prompt, bos=True)
+        res = ppl_run(engine, tokens)
+        print(f"perplexity: {res.ppl:.4f} "
+              f"[{res.n_chunks} chunks, {res.count} tokens]")
         return 0
 
     def set_color(code: str):

@@ -196,3 +196,11 @@ def test_embedding_mode(tiny_model, capsysbinary):
     out = capsysbinary.readouterr().out.split()
     assert len(out) == 128  # tiny n_embd
     float(out[0])  # parses as numbers
+
+
+def test_perplexity_mode(tiny_model, tmp_path, capsysbinary):
+    f = tmp_path / "text.txt"
+    f.write_text("the cat sat on the mat " * 40)
+    assert run_cli(tiny_model, "-f", str(f), "--perplexity") == 0
+    out = capsysbinary.readouterr().out
+    assert b"perplexity:" in out
