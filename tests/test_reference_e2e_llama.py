@@ -1,0 +1,143 @@
+"""End-to-end parity for the LLAMA family vs the COMPILED reference runtime.
+
+Like tests/test_reference_e2e.py (falcon/libfalcon), but building the
+reference's llama.cpp: both stacks run on the identical GGJT v3 file that OUR
+writer produced — so this also proves the reference accepts our GGJT output
+byte-for-byte. Covers tokenization id-parity, f32 logits parity, and greedy
+generation id-parity through the fused decode loop.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, LlamaHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.ops import sampling
+from ggllm_tpu import tokenizer as tok_mod
+from ggllm_tpu.utils.synthetic import write_tiny_llama
+
+REF = "/root/reference"
+HARNESS_SRC = os.path.join(os.path.dirname(__file__), "ref_llama_harness.cpp")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and shutil.which("g++")),
+    reason="reference tree or C++ compiler unavailable",
+)
+
+CORPUS = (
+    "The quick brown fox jumps over the lazy dog.\n"
+    "the and another ingredient thereabouts\n"
+    "Numbers: 12345 3.14159, punct!? (brackets)\n"
+)
+
+
+@pytest.fixture(scope="module")
+def harness(tmp_path_factory):
+    build = tmp_path_factory.mktemp("refllamabuild")
+
+    def cc(cmd):
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            pytest.skip(f"reference build failed: {proc.stderr[-2000:]}")
+
+    common = ["-O2", "-fPIC", "-ffp-contract=off", "-DGGML_USE_K_QUANTS",
+              "-I", REF]
+    cc(["cc", *common, "-c", f"{REF}/ggml.c", "-o", f"{build}/ggml.o"])
+    cc(["cc", *common, "-c", f"{REF}/k_quants.c", "-o", f"{build}/k_quants.o"])
+    cc(["g++", *common, "-std=c++11", "-c", f"{REF}/llama.cpp",
+        "-o", f"{build}/llama.o"])
+    exe = f"{build}/ref_llama_harness"
+    cc(["g++", "-O2", "-ffp-contract=off", "-I", REF, HARNESS_SRC,
+        f"{build}/llama.o", f"{build}/ggml.o", f"{build}/k_quants.o",
+        "-o", exe, "-lm", "-lpthread"])
+    return exe
+
+
+def _run(harness, model, cmd, inp, out, *extra):
+    proc = subprocess.run([harness, model, cmd, inp, out, *map(str, extra)],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, \
+        f"ref_llama_harness {cmd} failed:\n{proc.stderr[-2000:]}"
+
+
+def _write_model(tmp, ftype, seed):
+    path = os.path.join(tmp, f"llama_{seed}.ggjt")
+    write_tiny_llama(path, LlamaHParams.tiny(), ftype_2d=ftype, seed=seed)
+    return path
+
+
+def _engine(model_path, n_ctx, n_batch):
+    mf = read_model(model_path)
+    cfg = EngineConfig(n_ctx=n_ctx, n_batch=n_batch, kv_dtype="float32",
+                       compute_dtype="float32")
+    return mf, FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+
+
+def test_tokenize_parity(harness, tmp_path):
+    tmp = str(tmp_path)
+    model = _write_model(tmp, GGMLType.F32, seed=21)
+    text_f = os.path.join(tmp, "text.txt")
+    with open(text_f, "w") as f:
+        f.write(CORPUS)
+    ids_f = os.path.join(tmp, "ids.bin")
+    _run(harness, model, "tokenize", text_f, ids_f)
+    ref = np.fromfile(ids_f, np.int32).tolist()
+
+    mf = read_model(model)
+    ours = tok_mod.for_model(mf).tokenize(CORPUS, bos=True)
+    assert ours == ref
+
+
+def test_logits_parity(harness, tmp_path):
+    tmp = str(tmp_path)
+    model = _write_model(tmp, GGMLType.F32, seed=21)
+    rng = np.random.default_rng(9)
+    # the reference requires BOS at position 0 (llama_eval_internal guard)
+    ids = [1] + rng.integers(3, 512, size=79).tolist()
+    n_ctx, n_batch = 128, 32
+
+    ids_f = os.path.join(tmp, "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "logits.bin")
+    _run(harness, model, "eval", ids_f, out_f, n_ctx, n_batch)
+    mf, eng = _engine(model, n_ctx, n_batch)
+    ref = np.fromfile(out_f, np.float32).reshape(len(ids), mf.hparams.n_vocab)
+    ours = eng.eval(ids, logits_all=True)
+    assert ours.shape == ref.shape
+
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < 5e-3, f"max log-softmax delta {d:.2e}"
+    agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
+    assert agree == 1.0, f"argmax agreement {agree:.3f}"
+
+
+def test_greedy_generation_parity(harness, tmp_path):
+    tmp = str(tmp_path)
+    model = _write_model(tmp, GGMLType.F32, seed=21)
+    rng = np.random.default_rng(17)
+    prompt = [1] + rng.integers(3, 512, size=35).tolist()
+    n_ctx, n_batch, n_gen = 128, 32, 20
+
+    ids_f = os.path.join(tmp, "gen_ids.bin")
+    np.asarray(prompt, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "gen_out.bin")
+    _run(harness, model, "generate", ids_f, out_f, n_ctx, n_batch, n_gen)
+    ref = np.fromfile(out_f, np.int32).tolist()
+    assert len(ref) == n_gen
+
+    _, eng = _engine(model, n_ctx, n_batch)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    ours = eng.generate(prompt, n_predict=n_gen, sampler=greedy)
+    assert ours == ref
