@@ -141,3 +141,38 @@ def test_greedy_generation_parity(harness, tmp_path):
     greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
     ours = eng.generate(prompt, n_predict=n_gen, sampler=greedy)
     assert ours == ref
+
+
+def test_logits_parity_quantized(harness, tmp_path):
+    """Q8_0 llama: same tolerance story as the falcon quantized cases — the
+    reference quantizes activations to Q8 and runs integer dots; we
+    dequantize exactly, so divergence is bounded by its own activation
+    noise."""
+    tmp = str(tmp_path)
+    # n_mult=64 -> n_ff=384: the reference's q8_0 vec_dot needs an EVEN
+    # block count per row (ggml.c:3239 nb%2 assert; tiny's 352/32=11 is odd)
+    hp = LlamaHParams(n_vocab=512, n_embd=128, n_mult=64, n_head=4,
+                      n_layer=2, n_rot=32)
+    model = os.path.join(tmp, "llama_q8.ggjt")
+    write_tiny_llama(model, hp, ftype_2d=GGMLType.Q8_0, seed=33)
+    rng = np.random.default_rng(5)
+    ids = [1] + rng.integers(3, 512, size=63).tolist()
+    n_ctx, n_batch = 128, 32
+
+    ids_f = os.path.join(tmp, "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "logits.bin")
+    _run(harness, model, "eval", ids_f, out_f, n_ctx, n_batch)
+    mf, eng = _engine(model, n_ctx, n_batch)
+    ref = np.fromfile(out_f, np.float32).reshape(len(ids), mf.hparams.n_vocab)
+    ours = eng.eval(ids, logits_all=True)
+
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < 0.15, f"max log-softmax delta {d:.2e}"
+    agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
+    assert agree >= 0.9, f"argmax agreement {agree:.3f}"
