@@ -208,6 +208,14 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
             for k, t in _llama_names(i).items():
                 if t in lora.tensors:
                     dense_keys.add(k)
+    # the reference's mixed K-type policy gives the SAME key different types
+    # across layers (use_more_bits on wv/w2, llama.cpp:2495-2513); stacked
+    # and row-merged layouts need homogeneous blocks, so such keys densify
+    for k in _llama_names(0):
+        types = {mf.tensors[_llama_names(i)[k]].gtype
+                 for i in range(hp.n_layer) if _llama_names(i)[k] in mf.tensors}
+        if len(types) > 1:
+            dense_keys.add(k)
 
     layers = []
     for i in range(hp.n_layer):

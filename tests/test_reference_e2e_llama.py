@@ -176,3 +176,42 @@ def test_logits_parity_quantized(harness, tmp_path):
     assert d < 0.15, f"max log-softmax delta {d:.2e}"
     agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
     assert agree >= 0.9, f"argmax agreement {agree:.3f}"
+
+
+def test_quantize_tool_output_loads_in_reference(harness, tmp_path):
+    """OUR quantize tool's GGJT output (mixed K-type policy) must load and
+    eval in the reference binary: f32 GGJT -> tools/quantize q4_k ->
+    reference llama.cpp evals it; logits agree with ours within the
+    quantized tolerance."""
+    from ggllm_tpu.tools.quantize import quantize_file
+
+    tmp = str(tmp_path)
+    # K-quants need 256-divisible row widths: n_embd=256, n_ff=768... use
+    # n_ff from n_mult=256 -> 768 which is 3*256
+    hp = LlamaHParams(n_vocab=512, n_embd=256, n_mult=256, n_head=4,
+                      n_layer=2, n_rot=64)
+    f32_path = os.path.join(tmp, "llama_f32.ggjt")
+    write_tiny_llama(f32_path, hp, ftype_2d=GGMLType.F32, seed=41)
+    q_path = os.path.join(tmp, "llama_q4k.ggjt")
+    quantize_file(f32_path, q_path, "q4_k", log=lambda *a: None)
+
+    rng = np.random.default_rng(3)
+    ids = [1] + rng.integers(3, 512, size=47).tolist()
+    n_ctx, n_batch = 128, 32
+    ids_f = os.path.join(tmp, "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "logits.bin")
+    _run(harness, q_path, "eval", ids_f, out_f, n_ctx, n_batch)
+    mf, eng = _engine(q_path, n_ctx, n_batch)
+    ref = np.fromfile(out_f, np.float32).reshape(len(ids), mf.hparams.n_vocab)
+    ours = eng.eval(ids, logits_all=True)
+
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < 0.25, f"max log-softmax delta {d:.2e}"
+    agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
+    assert agree >= 0.85, f"argmax agreement {agree:.3f}"
