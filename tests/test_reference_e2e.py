@@ -258,3 +258,35 @@ def test_greedy_generation_parity(harness, tmp_path):
     greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
     ours = eng.generate(prompt, n_predict=n_gen, sampler=greedy)
     assert ours == ref
+
+
+# --------------------------------------------------------- quantizer output
+
+
+def test_quantize_tool_output_loads_in_reference(harness, tmp_path):
+    """OUR quantize tool's GGCC output must load and eval in the reference
+    binary (falcon_quantize round-trip through libfalcon): f32 GGCC ->
+    tools/quantize q4_0 -> reference evals; logits agree with ours within
+    the quantized tolerance."""
+    from ggllm_tpu.tools.quantize import quantize_file
+
+    tmp = str(tmp_path)
+    f32_model = _write_model(tmp, FalconHParams.tiny(), GGMLType.F32, seed=29)
+    q_model = os.path.join(tmp, "quantized.ggcc")
+    quantize_file(f32_model, q_model, "q4_0", log=lambda *a: None)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 512, size=64).tolist()
+    n_ctx, n_batch = 128, 32
+    ref = _ref_logits(harness, q_model, ids, n_ctx, n_batch, tmp)
+    ours = _our_logits(q_model, ids, n_ctx, n_batch)
+
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < 0.2, f"max log-softmax delta {d:.2e}"
+    agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
+    assert agree >= 0.9, f"argmax agreement {agree:.3f}"
