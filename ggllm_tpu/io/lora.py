@@ -57,7 +57,13 @@ def write_lora(path: str, r: int, alpha: int,
         f.write(struct.pack("<iii", LORA_VERSION, r, alpha))
         for base, ab in tensors.items():
             for suffix in ("loraA", "loraB"):
-                arr = np.ascontiguousarray(ab[suffix])
+                arr = ab[suffix]
+                if suffix == "loraA":
+                    # reference byte format stores A TRANSPOSED — (in, r)
+                    # numpy order (convert-lora-to-ggml.py:119 `v = v.T`,
+                    # consumed by llama.cpp:2940 base ne[0] == loraA ne[1])
+                    arr = arr.T
+                arr = np.ascontiguousarray(arr)
                 name = f"{base}.{suffix}".encode()
                 f.write(struct.pack("<iii", arr.ndim, len(name),
                                     _NP_FTYPE[arr.dtype]))
@@ -95,6 +101,8 @@ def read_lora(path: str) -> LoraFile:
         if ".lora" not in name:
             raise ValueError(f"{path}: '{name}' is not a lora tensor")
         base, suffix = name.rsplit(".", 1)
+        if suffix == "loraA":
+            arr = arr.T  # stored transposed on disk; API keeps (r, in)
         lf.tensors.setdefault(base, {})[suffix] = np.asarray(arr)
     for base, ab in lf.tensors.items():
         if "loraA" not in ab or "loraB" not in ab:

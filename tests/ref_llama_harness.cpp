@@ -49,11 +49,23 @@ int main(int argc, char **argv) {
     params.seed = 0;
     params.f16_kv = false;
     params.logits_all = true;
-    params.use_mmap = true;
     params.vocab_only = (cmd == "tokenize");
+
+    // optional trailing arg: a 'ggla' adapter applied before eval
+    // (llama_apply_lora_from_file, llama.h:162). LoRA patches weights IN
+    // PLACE, so the model must not be a read-only mmap (the reference CLI
+    // also forces use_mmap=false with --lora).
+    const char *lora_path = argc > 8 ? argv[8] : NULL;
+    params.use_mmap = !(lora_path && *lora_path);
 
     llama_context *ctx = llama_init_from_file(model_path, params);
     if (!ctx) { fprintf(stderr, "model load failed\n"); return 1; }
+    if (lora_path && *lora_path) {
+        if (llama_apply_lora_from_file(ctx, lora_path, NULL, 2)) {
+            fprintf(stderr, "lora apply failed\n");
+            return 1;
+        }
+    }
 
     if (cmd == "tokenize") {
         std::string text = read_file(in_path);
