@@ -55,8 +55,20 @@ int main(int argc, char **argv) {
     params.use_mmap = true;
     params.vocab_only = (cmd == "tokenize");
 
+    // optional 8th arg: a 'ggla' adapter applied before eval
+    // (llama_apply_lora_from_file, libfalcon.h:187). In-place patching
+    // requires a writable model (no read-only mmap).
+    const char *lora_path = argc > 8 ? argv[8] : NULL;
+    params.use_mmap = !(lora_path && *lora_path);
+
     falcon_context *ctx = falcon_init_from_file(model_path, params);
     if (!ctx) { fprintf(stderr, "model load failed\n"); return 1; }
+    if (lora_path && *lora_path) {
+        if (llama_apply_lora_from_file(ctx, lora_path, NULL, 2)) {
+            fprintf(stderr, "lora apply failed\n");
+            return 1;
+        }
+    }
 
     if (cmd == "tokenize") {
         std::string text = read_file(in_path);

@@ -290,3 +290,47 @@ def test_quantize_tool_output_loads_in_reference(harness, tmp_path):
     assert d < 0.2, f"max log-softmax delta {d:.2e}"
     agree = (np.argmax(ours, axis=-1) == np.argmax(ref, axis=-1)).mean()
     assert agree >= 0.9, f"argmax agreement {agree:.3f}"
+
+
+def test_lora_adapter_parity(harness, tmp_path):
+    """OUR 'ggla' adapter applied by the REFERENCE binary (falcon side,
+    libfalcon llama_apply_lora_from_file) matches our load-time
+    application."""
+    from ggllm_tpu.io import lora as lora_mod
+
+    tmp = str(tmp_path)
+    hp = FalconHParams.tiny()
+    model = _write_model(tmp, hp, GGMLType.F32, seed=29)
+    rng = np.random.default_rng(6)
+    r = 2
+    name = "transformer.h.0.mlp.dense_h_to_4h.weight"
+    a = (rng.standard_normal((r, hp.n_embd)) * 0.2).astype(np.float32)
+    b = (rng.standard_normal((hp.n_ff, r)) * 0.2).astype(np.float32)
+    lora_path = os.path.join(tmp, "adapter.ggla")
+    lora_mod.write_lora(lora_path, r=r, alpha=4,
+                        tensors={name: {"loraA": a, "loraB": b}})
+
+    ids = rng.integers(0, 512, size=32).tolist()
+    n_ctx, n_batch = 128, 32
+    ids_f = os.path.join(tmp, "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(tmp, "logits.bin")
+    _run(harness, model, "eval", ids_f, out_f, n_ctx, n_batch, 0, lora_path)
+
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.engine.engine import FalconEngine
+
+    mf = read_model(model)
+    cfg = EngineConfig(n_ctx=n_ctx, n_batch=n_batch, kv_dtype="float32",
+                       compute_dtype="float32")
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg, lora=lora_path), cfg)
+    ref = np.fromfile(out_f, np.float32).reshape(len(ids), mf.hparams.n_vocab)
+    ours = eng.eval(ids, logits_all=True)
+
+    def lsm(x):
+        x = x.astype(np.float64)
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    d = np.abs(lsm(ours) - lsm(ref)).max()
+    assert d < 5e-3, f"max log-softmax delta {d:.2e}"
