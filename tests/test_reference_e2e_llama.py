@@ -261,3 +261,68 @@ def test_lora_adapter_parity(harness, tmp_path):
     base = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
     base_logits = base.eval(ids, logits_all=True)
     assert np.abs(ours - base_logits).max() > 1e-3
+
+
+def test_hf_converter_output_loads_in_reference(harness, tmp_path):
+    """HF checkpoint -> OUR converter (convert_hf_llama) -> the reference
+    binary loads and evals the GGJT; logits match BOTH our engine and the
+    original transformers forward."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    import struct as _struct
+
+    from ggllm_tpu.io import convert_hf_llama
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=352,
+        num_attention_heads=4, num_hidden_layers=2, rms_norm_eps=1e-6,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.LlamaForCausalLM(cfg_hf).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    pieces = [b"<unk>", b"<s>", b"</s>"]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        pieces.append(f"<0x{b:02X}>".encode())
+        scores.append(-1e6)
+    while len(pieces) < 512:
+        pieces.append(f"<extra_{len(pieces)}>".encode())
+        scores.append(-1e6)
+    blob = bytearray()
+    for p, s in zip(pieces, scores):
+        sub = b"\x0a" + varint(len(p)) + p + b"\x15" + _struct.pack("<f", s)
+        blob += b"\x0a" + varint(len(sub)) + sub
+    (d / "tokenizer.model").write_bytes(bytes(blob))
+
+    out = os.path.join(str(tmp_path), "converted.ggjt")
+    convert_hf_llama.convert(str(d), out, ftype="f32", log=lambda *a: None)
+
+    ids = [1, 5, 300, 42, 17, 260, 9, 101]
+    n_ctx, n_batch = 64, 8
+    ids_f = os.path.join(str(tmp_path), "ids.bin")
+    np.asarray(ids, np.int32).tofile(ids_f)
+    out_f = os.path.join(str(tmp_path), "logits.bin")
+    _run(harness, out, "eval", ids_f, out_f, n_ctx, n_batch)
+    ref_bin = np.fromfile(out_f, np.float32).reshape(len(ids), 512)
+
+    mf, eng = _engine(out, n_ctx, n_batch)
+    ours = eng.eval(ids, logits_all=True)
+    with torch.no_grad():
+        hf = hf_model(torch.tensor([ids])).logits[0].numpy()
+
+    scale = np.abs(hf).max()
+    np.testing.assert_allclose(ref_bin / scale, hf / scale, atol=5e-3)
+    np.testing.assert_allclose(ours / scale, hf / scale, atol=5e-3)
