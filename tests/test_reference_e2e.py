@@ -226,12 +226,14 @@ def test_perplexity_protocol_parity(harness, tmp_path, ftype, tol):
 # -------------------------------------------------------------- generation
 
 
-def test_greedy_generation_parity(harness, tmp_path):
+@pytest.mark.parametrize("mk_hp", [FalconHParams.tiny, FalconHParams.tiny_gqa],
+                         ids=["mqa", "gqa"])
+def test_greedy_generation_parity(harness, tmp_path, mk_hp):
     """Greedy generation is id-identical to the reference binary: the
     reference's incremental single-token KV path (falcon_main.cpp:820-1056,
     temp=0 argmax) vs OUR fused on-device decode loop, on the same f32 GGCC
     file. This exercises the n_past>0 decode path end-to-end, not just
-    batched logits."""
+    batched logits. Covers MQA (7B) and GQA+parallel-norms (40B) shapes."""
     from ggllm_tpu.core.config import EngineConfig
     from ggllm_tpu.engine.engine import FalconEngine
     from ggllm_tpu.io.loader import load_params
@@ -239,7 +241,7 @@ def test_greedy_generation_parity(harness, tmp_path):
     from ggllm_tpu.ops import sampling
 
     tmp = str(tmp_path)
-    model = _write_model(tmp, FalconHParams.tiny(), GGMLType.F32, seed=13)
+    model = _write_model(tmp, mk_hp(), GGMLType.F32, seed=13)
     rng = np.random.default_rng(11)
     prompt = rng.integers(0, 512, size=40).tolist()
     n_ctx, n_batch, n_gen = 128, 32, 24
