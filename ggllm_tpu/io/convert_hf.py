@@ -123,6 +123,8 @@ def convert(dir_model: str, out_path: str, ftype: str = "f16", log=print) -> Fal
     )
     writer = GGCCWriter(out_path, hp, vocab)
 
+    written: set[str] = set()
+    embeddings = None
     for name, data in _iter_checkpoint_tensors(dir_model):
         data = np.asarray(data)
         if "query_key_value" in name:
@@ -139,8 +141,18 @@ def convert(dir_model: str, out_path: str, ftype: str = "f16", log=print) -> Fal
         out_name = name
         if out_name.startswith("model."):
             out_name = out_name[len("model."):]
+        if out_name == "transformer.word_embeddings.weight":
+            embeddings = (data, gtype)
         writer.write_array(out_name, data.astype(np.float32), gtype)
+        written.add(out_name)
         log(f"  | {out_name} {tuple(data.shape)} -> {gtype.name}")
+    if "lm_head.weight" not in written and embeddings is not None:
+        # tied-embedding HF checkpoints omit lm_head; the GGCC runtime (and
+        # the reference's loader) require it — materialize the tie
+        data, gtype = embeddings
+        writer.write_array("lm_head.weight", data.astype(np.float32), gtype)
+        log(f"  | lm_head.weight {tuple(data.shape)} -> {gtype.name} "
+            "(tied to word_embeddings)")
     writer.close()
     return hp
 

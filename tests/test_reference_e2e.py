@@ -336,3 +336,67 @@ def test_lora_adapter_parity(harness, tmp_path):
 
     d = np.abs(lsm(ours) - lsm(ref)).max()
     assert d < 5e-3, f"max log-softmax delta {d:.2e}"
+
+
+def test_hf_falcon_converter_output_loads_in_reference(harness, tmp_path):
+    """HF Falcon checkpoint -> OUR converter (convert_hf) -> the reference
+    libfalcon loads and evals the GGCC; logits match both our engine and the
+    original transformers forward (QKV de-interleave included)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    import json as _json
+
+    from ggllm_tpu.io import convert_hf
+    from ggllm_tpu.tokenizer.bpe import bytes_to_unicode
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    cfg_hf = transformers.FalconConfig(
+        vocab_size=512, hidden_size=128, num_attention_heads=4,
+        num_hidden_layers=2, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, alibi=False, bias=False,
+    )
+    torch.manual_seed(2)
+    hf_model = transformers.FalconForCausalLM(cfg_hf).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    # shape the config like tiiuae/falcon-7b's (no num_kv_heads key — its
+    # presence is the converter's 40B-architecture signal)
+    with open(d / "config.json") as f:
+        raw = _json.load(f)
+    raw.pop("num_kv_heads", None)
+    raw.pop("n_head_kv", None)
+    with open(d / "config.json", "w") as f:
+        _json.dump(raw, f)
+
+    b2u = bytes_to_unicode()
+    vocab = {}
+    for b in range(256):
+        vocab[b2u[b]] = b
+    i = 256
+    merge_list = []
+    for pair in [("t", "h"), ("th", "e"), ("a", "n")]:
+        merge_list.append(f"{pair[0]} {pair[1]}")
+        vocab[pair[0] + pair[1]] = i
+        i += 1
+    vocab["<|endoftext|>"] = i
+    i += 1
+    while i < 512:
+        vocab[f"<filler{i}>"] = i
+        i += 1
+    with open(d / "tokenizer.json", "w") as f:
+        _json.dump({"model": {"vocab": vocab, "merges": merge_list},
+                    "added_tokens": []}, f)
+
+    out = os.path.join(str(tmp_path), "converted.ggcc")
+    convert_hf.convert(str(d), out, ftype="f32", log=lambda *a: None)
+
+    ids = [5, 300, 42, 17, 260, 9, 101, 77]
+    n_ctx, n_batch = 64, 8
+    ref_bin = _ref_logits(harness, out, ids, n_ctx, n_batch, str(tmp_path))
+    ours = _our_logits(out, ids, n_ctx, n_batch)
+    with torch.no_grad():
+        hf = hf_model(torch.tensor([ids])).logits[0].numpy()
+
+    scale = np.abs(hf).max()
+    np.testing.assert_allclose(ref_bin / scale, hf / scale, atol=5e-3)
+    np.testing.assert_allclose(ours / scale, hf / scale, atol=5e-3)
