@@ -338,10 +338,14 @@ def test_lora_adapter_parity(harness, tmp_path):
     assert d < 5e-3, f"max log-softmax delta {d:.2e}"
 
 
-def test_hf_falcon_converter_output_loads_in_reference(harness, tmp_path):
+@pytest.mark.parametrize("arch", ["7b_mqa", "40b_gqa"])
+def test_hf_falcon_converter_output_loads_in_reference(harness, tmp_path,
+                                                       arch):
     """HF Falcon checkpoint -> OUR converter (convert_hf) -> the reference
     libfalcon loads and evals the GGCC; logits match both our engine and the
-    original transformers forward (QKV de-interleave included)."""
+    original transformers forward (QKV de-interleave included). Covers the
+    falcon-7b config shape (multi_query, single norm) and the falcon-40b one
+    (new_decoder_architecture: GQA + dual ln_attn/ln_mlp)."""
     transformers = pytest.importorskip("transformers")
     torch = pytest.importorskip("torch")
     import json as _json
@@ -351,22 +355,32 @@ def test_hf_falcon_converter_output_loads_in_reference(harness, tmp_path):
 
     d = tmp_path / "hf"
     d.mkdir()
-    cfg_hf = transformers.FalconConfig(
-        vocab_size=512, hidden_size=128, num_attention_heads=4,
-        num_hidden_layers=2, multi_query=True, parallel_attn=True,
-        new_decoder_architecture=False, alibi=False, bias=False,
-    )
+    if arch == "7b_mqa":
+        cfg_hf = transformers.FalconConfig(
+            vocab_size=512, hidden_size=128, num_attention_heads=4,
+            num_hidden_layers=2, multi_query=True, parallel_attn=True,
+            new_decoder_architecture=False, alibi=False, bias=False,
+        )
+    else:
+        cfg_hf = transformers.FalconConfig(
+            vocab_size=512, hidden_size=128, num_attention_heads=4,
+            num_kv_heads=2, num_hidden_layers=2, parallel_attn=True,
+            new_decoder_architecture=True, alibi=False, bias=False,
+        )
     torch.manual_seed(2)
     hf_model = transformers.FalconForCausalLM(cfg_hf).eval()
     hf_model.save_pretrained(str(d), safe_serialization=True)
     # shape the config like tiiuae/falcon-7b's (no num_kv_heads key — its
     # presence is the converter's 40B-architecture signal)
-    with open(d / "config.json") as f:
-        raw = _json.load(f)
-    raw.pop("num_kv_heads", None)
-    raw.pop("n_head_kv", None)
-    with open(d / "config.json", "w") as f:
-        _json.dump(raw, f)
+    if arch == "7b_mqa":
+        # shape the config like tiiuae/falcon-7b's (no num_kv_heads key —
+        # its presence is the converter's 40B-architecture signal)
+        with open(d / "config.json") as f:
+            raw = _json.load(f)
+        raw.pop("num_kv_heads", None)
+        raw.pop("n_head_kv", None)
+        with open(d / "config.json", "w") as f:
+            _json.dump(raw, f)
 
     b2u = bytes_to_unicode()
     vocab = {}
