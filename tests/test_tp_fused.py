@@ -191,3 +191,31 @@ def test_tp_flash_prefill(tmp_path, hp_name):
     l_fl = e2.eval(prompt)
     scale = np.abs(l_ref).max() + 1e-6
     np.testing.assert_allclose(l_fl / scale, l_ref / scale, atol=5e-5)
+
+
+def test_tp_pipelined_decode_matches_single_device(tmp_path):
+    """decode_pipelined under a TP mesh (shard_map loop with the 5-output
+    ring/pos carry) equals chained single-device decode exactly."""
+    hp = FalconHParams.tiny()
+    path = str(tmp_path / "mp.ggcc")
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=27)
+    mf = read_model(path)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    prompt = [5, 17, 130, 42]
+
+    cfg1 = _cfg(kernel_layout=True)
+    e1 = FalconEngine(mf.hparams, load_params(mf, cfg1), cfg1)
+    logits = e1.eval(prompt)
+    import numpy as np
+    first = int(np.argmax(logits))
+    ref, _ = e1.decode_pipelined(first, 12, 4, greedy,
+                                 last_tokens=prompt + [first])
+
+    mesh = make_mesh(data=1, model=2)
+    cfg2 = _cfg()
+    e2 = FalconEngine(mf.hparams, load_params(mf, cfg2, mesh=mesh), cfg2,
+                      mesh=mesh)
+    e2.eval(prompt)
+    got, _ = e2.decode_pipelined(first, 12, 4, greedy,
+                                 last_tokens=prompt + [first])
+    assert [int(t) for t in got] == [int(t) for t in ref]
