@@ -89,3 +89,20 @@ def test_sp_multi_chunk_prefill(model_file):
     l2 = e2.eval(ids)
     scale = np.abs(l1).max() + 1e-6
     np.testing.assert_allclose(l2 / scale, l1 / scale, atol=5e-5)
+
+
+def test_sp_pipelined_decode_matches(model_file):
+    """decode_pipelined in sequence-parallel mode (time-sharded KV, the
+    shard_map loop's 5-output ring/pos carry) equals single-device."""
+    import numpy as np
+
+    e1, e2 = _engines(model_file, 2)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    prompt = [5, 17, 130, 42]
+    first = int(np.argmax(e1.eval(prompt)))
+    ref, _ = e1.decode_pipelined(first, 12, 4, greedy,
+                                 last_tokens=prompt + [first])
+    e2.eval(prompt)
+    got, _ = e2.decode_pipelined(first, 12, 4, greedy,
+                                 last_tokens=prompt + [first])
+    assert [int(t) for t in got] == [int(t) for t in ref]
