@@ -65,8 +65,9 @@ class Timings:
     """falcon_print_timings fields (libfalcon.cpp:4700-4715)."""
 
     t_load_us: float = 0.0
-    t_sample_us: float = 0.0
-    t_prefill_us: float = 0.0
+    t_compile_us: float = 0.0  # TPU-only: one-time XLA compiles, kept out
+    t_sample_us: float = 0.0   # of the per-token buckets so short runs
+    t_prefill_us: float = 0.0  # report honest steady-state numbers
     t_decode_us: float = 0.0
     n_sample: int = 0
     n_prefill: int = 0
@@ -74,6 +75,10 @@ class Timings:
 
     def report(self) -> str:
         lines = [f"load time       = {self.t_load_us / 1000:.2f} ms"]
+        if self.t_compile_us:
+            lines.append(
+                f"compile time    = {self.t_compile_us / 1000:.2f} ms "
+                "(one-time XLA compiles; cached across runs)")
         if self.n_sample:
             lines.append(
                 f"sample time     = {self.t_sample_us / 1000:.2f} ms / {self.n_sample} runs"
@@ -176,6 +181,7 @@ class FalconEngine:
         self.kv = self.new_kv()
         self.timings = Timings()
         self._fwd = {}  # (seq_len, logits_all) -> jitted fn
+        self._warm = set()  # fn keys whose first (compiling) call has run
 
     # ---------------------------------------------------------------- kv
 
@@ -366,15 +372,25 @@ class FalconEngine:
         pad = _bucket(n, self.cfg.n_batch)
         buf = np.zeros((self.batch, pad), dtype=np.int32)
         buf[0, :n] = chunk
+        key = ("fwd", pad, logits_all)
+        first = key not in self._warm
         t0 = time.perf_counter()
         fwd = self._forward_fn(pad, logits_all)
         logits, kv = fwd(
             self.params, jnp.asarray(buf), self.kv,
             jnp.int32(self.n_past), jnp.int32(n - 1),
         )
+        t_disp = time.perf_counter()
         if fetch:
             logits = self._fetch(logits).astype(np.float32)
         dt = (time.perf_counter() - t0) * 1e6
+        if first:
+            # the first dispatch blocks on XLA compilation: book it to the
+            # compile bucket so per-token rates reflect steady state
+            self._warm.add(key)
+            comp = (t_disp - t0) * 1e6
+            self.timings.t_compile_us += comp
+            dt -= comp
         if n > 1:
             self.timings.t_prefill_us += dt
             self.timings.n_prefill += n
@@ -530,14 +546,24 @@ class FalconEngine:
         window = window[-min(L, self.cfg.n_ctx):]
         ring = np.full(L, self.hp.n_vocab, dtype=np.int32)  # empty slots
         ring[: len(window)] = window
+        loop_key = ("loop", n_steps, float(sampler.temp), int(sampler.top_k),
+                    float(sampler.top_p), pen_spec)
+        first = loop_key not in self._warm
         t0 = time.perf_counter()
         toks, kv, rng_key, _, _ = loop(
             self.params, jnp.int32(first_token), self.kv,
             jnp.int32(self.n_past), rng_key, jnp.asarray(ring),
             jnp.int32(len(window) % L),
         )
+        t_disp = time.perf_counter()
         toks = self._fetch(toks)
-        self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
+        dt = (time.perf_counter() - t0) * 1e6
+        if first:
+            self._warm.add(loop_key)
+            comp = (t_disp - t0) * 1e6
+            self.timings.t_compile_us += comp
+            dt -= comp
+        self.timings.t_decode_us += dt
         self.timings.n_decode += n_steps
         self.kv = kv
         self.n_past += n_steps
@@ -575,15 +601,25 @@ class FalconEngine:
         tok = jnp.int32(first_token)
         ring = jnp.asarray(ring_np)
         pos = jnp.int32(len(window) % L)
+        loop_key = ("loop", n_steps, float(sampler.temp), int(sampler.top_k),
+                    float(sampler.top_p), pen_spec)
         t0 = time.perf_counter()
+        t_compile = 0.0
         out: list[np.ndarray] = []
         pending = None  # (tokens, rng after that chunk)
         rng_done = rng_key  # rng as of the last CONSUMED chunk
         stopped = False
         for done in range(0, n_total, n_steps):
+            first = loop_key not in self._warm
+            if first:
+                tc = time.perf_counter()
             toks, kv, rng_key, ring, pos = loop(
                 self.params, tok, self.kv, jnp.int32(self.n_past),
                 rng_key, ring, pos)
+            if first:
+                # the first dispatch blocks on XLA compilation
+                t_compile = time.perf_counter() - tc
+                self._warm.add(loop_key)
             self.kv = kv
             self.n_past += n_steps
             tok = toks[-1]  # stays on device: next dispatch needs no fetch
@@ -602,7 +638,9 @@ class FalconEngine:
             if on_tokens is not None:
                 on_tokens(fetched)
         n_done = sum(len(o) for o in out)
-        self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
+        self.timings.t_compile_us += t_compile * 1e6
+        self.timings.t_decode_us += \
+            (time.perf_counter() - t0 - t_compile) * 1e6
         self.timings.n_decode += n_done
         return np.concatenate(out), rng_done
 
