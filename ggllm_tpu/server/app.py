@@ -485,6 +485,9 @@ def main(argv=None):
     from ggllm_tpu.core.config import EngineConfig
     from ggllm_tpu.io.loader import load_model
 
+    from ggllm_tpu.utils.jaxenv import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description="Falcon inference server (TPU)")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")

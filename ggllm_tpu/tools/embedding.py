@@ -13,6 +13,9 @@ from ggllm_tpu import tokenizer as tok_mod
 
 
 def main(argv=None):
+    from ggllm_tpu.utils.jaxenv import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description="prompt embedding (final hidden state)")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-p", "--prompt", required=True)

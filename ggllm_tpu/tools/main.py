@@ -28,6 +28,7 @@ from ggllm_tpu.engine import session as session_mod
 from ggllm_tpu.io.loader import load_model
 from ggllm_tpu.ops import sampling
 from ggllm_tpu import tokenizer as tok_mod
+from ggllm_tpu.utils.jaxenv import enable_compile_cache
 from ggllm_tpu.utils.finetune import detect_finetune, build_prompt, finetune_stopwords
 from ggllm_tpu.utils.stream import StopStream
 
@@ -219,6 +220,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    enable_compile_cache()
 
     if args.interactive_first:
         args.interactive = True

@@ -14,6 +14,9 @@ from ggllm_tpu import tokenizer as tok_mod
 
 
 def main(argv=None):
+    from ggllm_tpu.utils.jaxenv import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description="wikitext-style perplexity")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", required=True, help="raw text file (wiki.test.raw)")
