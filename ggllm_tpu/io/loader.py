@@ -10,6 +10,8 @@ dtype at load ("dequant" mode) or stay packed as planar QuantTensors
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -489,11 +491,60 @@ def load_params(
     return params
 
 
+def _cache_fingerprint(cfg: EngineConfig, kernel: bool) -> dict:
+    """Config knobs that change the parameter tree's contents."""
+    return {
+        "weight_mode": cfg.weight_mode,
+        "compute_dtype": str(jnp.dtype(cfg.compute_dtype)),
+        "kernel": kernel,
+    }
+
+
 def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
                lora=None, lora_base=None, progress=None):
-    """Convenience: parse file + build params. Returns (ModelFile, params)."""
+    """Convenience: parse file + build params. Returns (ModelFile, params).
+
+    The kernel-layout host repack takes minutes for multi-GB files on this
+    single-core host, so the built tree is cached next to the model
+    (<model>.kcache, io/param_cache.py) and reused while the file and
+    config fingerprint match. GGLLM_PARAM_CACHE=0 disables. LoRA and mesh
+    loads are not cached (adapter deltas / per-shard repacks)."""
     mf = read_model(path)
+    cfg = cfg or EngineConfig()
+    cacheable = (
+        lora is None and mesh is None
+        and os.environ.get("GGLLM_PARAM_CACHE", "1") != "0"
+    )
+    if cacheable:
+        from ggllm_tpu.io import param_cache
+
+        fp = _cache_fingerprint(cfg, _use_kernel_layout(cfg, mesh))
+        host = param_cache.try_load(path, fp)
+        if host is not None:
+            _progress(progress, 1, 1, "cached")
+            return mf, jax.device_put(host, jax.devices()[0])
+        cpu = _host_cpu_device()
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = load_params(mf, cfg, progress=progress)
+            try:
+                param_cache.save(path, params, fp)
+            except OSError as e:
+                import warnings
+
+                warnings.warn(f"param cache write failed: {e}")
+            _progress(progress, 1, 1, "done")
+            return mf, jax.device_put(params, jax.devices()[0])
     params = load_params(mf, cfg, mesh=mesh, lora=lora, lora_base=lora_base,
                          progress=progress)
     _progress(progress, 1, 1, "done")
     return mf, params
+
+
+def _host_cpu_device():
+    """The host CPU jax device, or None if the CPU backend is unavailable
+    (then params build directly on the default device and are not cached)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None

@@ -75,6 +75,10 @@ FORMATS: dict[GGMLType, FormatSpec] = {
 CK_MAX = 4096
 CK_MAX_NARROW = 4608
 
+# bump whenever the packed-plane layout produced by to_kernel changes —
+# io/param_cache.py keys its sidecar files on this
+LAYOUT_VERSION = 1
+
 
 def _ck_cap(spec: FormatSpec | None) -> int:
     if spec is not None and sum(b for _, b, _ in spec.planes) <= 4:

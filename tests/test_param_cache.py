@@ -1,0 +1,122 @@
+"""Sidecar parameter cache (io/param_cache.py): round-trip fidelity and
+invalidation.
+
+The cache must return byte-identical trees to a fresh build (the engine's
+numerics depend on exact plane bytes) and must never serve stale data when
+the model file or config changes.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.io import param_cache
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_model, load_params, _cache_fingerprint, \
+    _use_kernel_layout
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    from ggllm_tpu.utils.synthetic import write_tiny_model
+
+    path = str(tmp_path_factory.mktemp("pcache") / "tiny.ggcc")
+    write_tiny_model(path, FalconHParams.tiny(), ftype_2d=GGMLType.Q4_0,
+                     seed=3)
+    return path
+
+
+def _leaves(tree):
+    return jax.tree_util.tree_flatten(tree)[0]
+
+
+def _assert_trees_identical(a, b):
+    la, lb = _leaves(a), _leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.dtype == y.dtype and x.shape == y.shape
+        np.testing.assert_array_equal(x, y)
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    assert str(ta) == str(tb)
+
+
+@pytest.mark.parametrize("kernel", [False, True])
+def test_roundtrip_bit_exact(model_path, tmp_path, kernel):
+    cfg = EngineConfig(kernel_layout=kernel)
+    mf = read_model(model_path)
+    params = load_params(mf, cfg)
+    fp = _cache_fingerprint(cfg, kernel)
+    cpath = str(tmp_path / f"k{kernel}.kcache")
+    param_cache.save(model_path, params, fp, path=cpath)
+    loaded = param_cache.try_load(model_path, fp, path=cpath)
+    assert loaded is not None
+    _assert_trees_identical(params, loaded)
+
+
+def test_fingerprint_mismatch_misses(model_path, tmp_path):
+    cfg = EngineConfig(kernel_layout=True)
+    params = load_params(read_model(model_path), cfg)
+    fp = _cache_fingerprint(cfg, True)
+    cpath = str(tmp_path / "t.kcache")
+    param_cache.save(model_path, params, fp, path=cpath)
+    other = dict(fp, compute_dtype="float32")
+    assert param_cache.try_load(model_path, other, path=cpath) is None
+
+
+def test_source_change_invalidates(model_path, tmp_path):
+    cfg = EngineConfig(kernel_layout=True)
+    params = load_params(read_model(model_path), cfg)
+    fp = _cache_fingerprint(cfg, True)
+    cpath = str(tmp_path / "t.kcache")
+    param_cache.save(model_path, params, fp, path=cpath)
+    st = os.stat(model_path)
+    os.utime(model_path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    try:
+        assert param_cache.try_load(model_path, fp, path=cpath) is None
+    finally:
+        os.utime(model_path, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_corrupt_cache_is_a_miss(model_path, tmp_path):
+    cpath = str(tmp_path / "bad.kcache")
+    with open(cpath, "wb") as f:
+        f.write(b"not a cache file at all")
+    cfg = EngineConfig()
+    fp = _cache_fingerprint(cfg, False)
+    assert param_cache.try_load(model_path, fp, path=cpath) is None
+
+
+def test_load_model_uses_cache(model_path):
+    """Second load_model must hit the sidecar and produce identical logits."""
+    cache = param_cache.cache_path(model_path)
+    if os.path.exists(cache):
+        os.remove(cache)
+    cfg = EngineConfig(n_ctx=64, n_batch=16)
+    mf, p1 = load_model(model_path, cfg)
+    assert os.path.exists(cache), "first load should write the sidecar"
+    mf2, p2 = load_model(model_path, cfg)
+    _assert_trees_identical(p1, p2)
+
+    from ggllm_tpu.engine.engine import FalconEngine
+
+    e1 = FalconEngine(mf.hparams, p1, cfg)
+    e2 = FalconEngine(mf2.hparams, p2, cfg)
+    toks = np.arange(5, dtype=np.int32)
+    l1 = e1.eval_tokens(toks)
+    l2 = e2.eval_tokens(toks)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_disable_env(model_path, monkeypatch):
+    cache = param_cache.cache_path(model_path)
+    if os.path.exists(cache):
+        os.remove(cache)
+    monkeypatch.setenv("GGLLM_PARAM_CACHE", "0")
+    load_model(model_path, EngineConfig())
+    assert not os.path.exists(cache)
