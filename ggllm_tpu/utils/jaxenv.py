@@ -14,6 +14,22 @@ import os
 _DEFAULT_CACHE_DIR = "/tmp/jax_compile_cache"
 
 
+def honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS via jax.config before first jax use.
+
+    The env var alone does not stop out-of-tree device plugins from
+    initializing — a cold/unreachable device tunnel then stalls the first
+    dispatch by minutes even for a CPU-only run. Setting the config value
+    programmatically (before any backend is touched) does suppress plugin
+    init, so CLI runs with JAX_PLATFORMS=cpu start instantly.
+    """
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache (idempotent).
 
@@ -21,6 +37,7 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     disables) > /tmp/jax_compile_cache. Returns the directory in use, or
     None when disabled.
     """
+    honor_platform_env()
     import jax
 
     if cache_dir is None:
