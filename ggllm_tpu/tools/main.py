@@ -213,8 +213,13 @@ def build_argparser() -> argparse.ArgumentParser:
                          "auto-discovery) before building the mesh")
     ap.add_argument("--verbose-timings", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
-                    help="write a jax profiler trace of generation to DIR "
-                         "(the reference's --debug-timings per-op analogue)")
+                    help="write a jax profiler trace of generation to DIR")
+    ap.add_argument("-dt", "--debug-timings", type=int, default=0,
+                    metavar="LEVEL", choices=[0, 1, 2, 3],
+                    help="print a per-op device timing table after "
+                         "generation (1=top ops, 2=more, 3=all; the "
+                         "reference's falcon_main -dt / "
+                         "ggml_graph_print_impl table)")
     return ap
 
 
@@ -424,6 +429,10 @@ def main(argv=None):
     sys.stdout.flush()
     set_color(ANSI_RESET)
 
+    if args.debug_timings and not args.profile:
+        import tempfile
+
+        args.profile = tempfile.mkdtemp(prefix="ggllm_dt_")
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -507,6 +516,16 @@ def main(argv=None):
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    if args.debug_timings:
+        from ggllm_tpu.utils import traceview
+
+        try:
+            stats = traceview.load_op_stats(args.profile)
+            print(traceview.format_table(stats, args.debug_timings),
+                  file=sys.stderr)
+        except (OSError, ValueError) as e:
+            print(f"debug-timings: could not parse trace: {e}",
+                  file=sys.stderr)
     if args.prompt_cache and args.prompt_cache_all and not args.prompt_cache_ro:
         # --prompt-cache-all: the final save includes generated output
         # (falcon_main.cpp:1228-1231); without it the session keeps only the
