@@ -3,8 +3,10 @@
 One generic kernel, parameterized by kernels.layout.FormatSpec: per grid step
 it streams packed bit-plane tiles from HBM, unpacks on the VPU (widen to i32,
 shift/mask, sublane-concat of the bit-field parts so columns come out in
-ascending order), applies per-group scales (w = q*ds - ms; integer offsets
-are pre-folded into ms at load), and feeds the MXU.
+ascending order), applies per-group scales (w = q*ds), and feeds the MXU.
+The affine part of the dequant (mins / integer offsets) never touches the
+per-element path: it is folded into a tiny per-group correction dot against
+precomputed group-sums of x (see _kern).
 
 Grid: (s_tiles, out_tiles, k_chunks) with k innermost accumulating into the
 output block (revisit pattern). Replaces the reference's per-format CUDA
@@ -40,11 +42,24 @@ def _block_o(ck: int, O: int, S: int = 256, code_bits: int = 8) -> int:
 
 
 def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
-    # refs: x, code planes..., scale planes (spec.scale_names order), out
+    # refs: x, [xg], code planes..., scale planes (scale_names order), out.
+    # xg (per-group sums of x) is present iff the format has a min or a
+    # nonzero integer offset: the affine part of the dequant is folded OUT
+    # of the per-element path (k_quants.c:1751's bsums trick, TPU-shaped) —
+    #   y = x @ (q*ds)^T - xg @ M^T,  M = ms_g (min formats)
+    #                                 M = -offset*ds_g (offset formats)
+    # so the VPU never touches a per-element add/subtract or the broadcast
+    # of ms to element width; the correction is one tiny per-group MXU dot.
+    has_corr = has_ms or spec.has_min or spec.offset != 0.0
     x_ref = refs[0]
-    code_refs = refs[1 : 1 + n_code]
+    base = 1
+    xg_ref = None
+    if has_corr:
+        xg_ref = refs[1]
+        base = 2
+    code_refs = refs[base : base + n_code]
     sc_refs = dict(zip(spec.scale_names,
-                       refs[1 + n_code : 1 + n_code + len(spec.scale_names)]))
+                       refs[base + n_code : base + n_code + len(spec.scale_names)]))
     o_ref = refs[-1]
     c = pl.program_id(2)
 
@@ -84,9 +99,6 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
         v = ref[0]
         return f16dec(v) if v.dtype == jnp.int16 else v
 
-    if spec.offset:  # offset-only formats: integer add, no min plane
-        q = q + jnp.int32(spec.offset)
-
     # dequant arithmetic stays f32: a bf16-domain variant (half vector
     # width) was tried and measured SLOWER on this chip (98 -> 79 tok/s,
     # Mosaic relayout costs for bf16 elementwise outweigh the width win)
@@ -108,19 +120,21 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
             if spec.has_min:
                 dmin = jnp.repeat(f16dec(sc_refs["dminb"][0]), rep, axis=0)
                 ms_g = dmin * sc_refs["scm"][0].astype(jnp.float32)
-        w = q.astype(dq) * jnp.repeat(ds_g.astype(dq), spec.group, axis=0)
-        if ms_g is not None:
-            w = w - jnp.repeat(ms_g.astype(dq), spec.group, axis=0)
     else:
-        w = q.astype(dq) * jnp.repeat(
-            scales(sc_refs["ds"]).astype(dq), spec.group, axis=0)
-        if has_ms:
-            w = w - jnp.repeat(scales(sc_refs["ms"]).astype(dq),
-                               spec.group, axis=0)
+        ds_g = scales(sc_refs["ds"]).astype(dq)
+        ms_g = scales(sc_refs["ms"]).astype(dq) if has_ms else None
+
+    w = q.astype(dq) * jnp.repeat(ds_g.astype(dq), spec.group, axis=0)
     acc = jax.lax.dot_general(
         x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if has_corr:
+        corr = ms_g if ms_g is not None else (-spec.offset) * ds_g
+        acc = acc - jax.lax.dot_general(
+            xg_ref[0], corr.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     o_ref[:] += acc
 
 
@@ -139,18 +153,31 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     bo = _block_o(ck, O, S, sum(b for _, b, _ in spec.planes))
     bs = min(S, 256)
     has_ms = "ms" in kq.planes
+    has_corr = has_ms or spec.has_min or spec.offset != 0.0
     w_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
     code_planes = [kq.planes[name] for name, _, _ in spec.planes]
     scale_planes = [kq.planes[n] for n in spec.scale_names if n in kq.planes]
 
+    operands = [x]
     in_specs = [pl.BlockSpec((bs, ck), lambda s, i, c: (s, c),
                              memory_space=pltpu.VMEM)]
+    if has_corr:
+        # per-group sums of x for the affine correction dot (see _kern);
+        # computed once in XLA — negligible next to the weight stream.
+        # Shaped (n_k, S, ck//g) so the block's last dim equals the full
+        # array dim (Mosaic requires lane dims be 128-divisible or whole).
+        g = spec.group
+        xg = jnp.sum(x.astype(jnp.float32).reshape(S, n_k, ck // g, g), axis=-1)
+        operands.append(jnp.swapaxes(xg, 0, 1))
+        in_specs.append(pl.BlockSpec((1, bs, ck // g), lambda s, i, c: (c, s, 0),
+                                     memory_space=pltpu.VMEM))
     for p in code_planes + scale_planes:
         rows = p.shape[1]
         in_specs.append(
             pl.BlockSpec((1, rows, bo), lambda s, i, c: (c, 0, i),
                          memory_space=pltpu.VMEM))
+    operands += code_planes + scale_planes
 
     kern = functools.partial(_kern, spec, ck, len(code_planes), has_ms, w_dtype)
     y = pl.pallas_call(
@@ -164,7 +191,7 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, *code_planes, *scale_planes)
+    )(*operands)
     return y.astype(out_dtype)
 
 
