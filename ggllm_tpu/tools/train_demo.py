@@ -52,7 +52,10 @@ def init_params(hp: FalconHParams, key) -> dict:
 
 
 def train(text: bytes, hp: FalconHParams, steps: int, seq_len: int = 64,
-          batch: int = 8, lr: float = 3e-3, seed: int = 0, log=print):
+          batch: int = 8, lr: float = 3e-3, seed: int = 0, log=print,
+          optimizer: str = "adam"):
+    """optimizer: "adam" (minibatch) or "lbfgs" (full-batch with line search,
+    the reference's second optimizer — ggml.h:1417-1503 GGML_OPT_LBFGS)."""
     st = FalconStatic.from_hparams(hp)
     inv_freq = rope_angles(EngineConfig().rope, seq_len, hp.head_dim)
     data = np.frombuffer(text, dtype=np.uint8).astype(np.int32) + 12  # byte ids
@@ -60,8 +63,6 @@ def train(text: bytes, hp: FalconHParams, steps: int, seq_len: int = 64,
 
     key = jax.random.PRNGKey(seed)
     params = init_params(hp, key)
-    opt = optax.adam(lr)
-    opt_state = opt.init(params)
 
     def loss_fn(params, tokens):
         B, S1 = tokens.shape
@@ -75,18 +76,48 @@ def train(text: bytes, hp: FalconHParams, steps: int, seq_len: int = 64,
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
         return nll.mean()
 
+    rng = np.random.default_rng(seed)
+
+    def sample(b):
+        starts = rng.integers(0, data.size - seq_len - 1, b)
+        return jnp.asarray(np.stack([data[s : s + seq_len + 1] for s in starts]))
+
+    losses = []
+    if optimizer == "lbfgs":
+        # L-BFGS is a deterministic full-batch method: fix ONE batch and run
+        # the curvature/line-search loop on it (like the reference's
+        # ggml_opt L-BFGS over a fixed dataset view, tests/test-opt.c)
+        opt = optax.lbfgs()
+        opt_state = opt.init(params)
+        tokens = sample(batch)
+        vg = optax.value_and_grad_from_state(loss_fn)
+
+        @jax.jit
+        def step(params, opt_state, tokens):
+            loss, grads = vg(params, tokens, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, params, value=loss, grad=grads,
+                value_fn=lambda p: loss_fn(p, tokens))
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for i in range(steps):
+            params, opt_state, loss = step(params, opt_state, tokens)
+            losses.append(float(loss))
+            if i % max(1, steps // 10) == 0:
+                log(f"step {i:5d}  loss {float(loss):.4f}")
+        return params, losses
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
     @jax.jit
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(seed)
-    losses = []
     for i in range(steps):
-        starts = rng.integers(0, data.size - seq_len - 1, batch)
-        tokens = jnp.asarray(np.stack([data[s : s + seq_len + 1] for s in starts]))
-        params, opt_state, loss = step(params, opt_state, tokens)
+        params, opt_state, loss = step(params, opt_state, sample(batch))
         losses.append(float(loss))
         if i % max(1, steps // 10) == 0:
             log(f"step {i:5d}  loss {float(loss):.4f}")
@@ -127,6 +158,8 @@ def main(argv=None):
     ap.add_argument("--seq-len", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--optimizer", choices=("adam", "lbfgs"), default="adam",
+                    help="adam (minibatch) or lbfgs (full-batch, line search)")
     ap.add_argument("--n-embd", type=int, default=128)
     ap.add_argument("--n-layer", type=int, default=2)
     ap.add_argument("--n-head", type=int, default=4)
@@ -137,7 +170,8 @@ def main(argv=None):
                        n_bpe_merges=0)
     with open(args.file, "rb") as f:
         text = f.read()
-    params, losses = train(text, hp, args.steps, args.seq_len, args.batch, args.lr)
+    params, losses = train(text, hp, args.steps, args.seq_len, args.batch,
+                           args.lr, optimizer=args.optimizer)
     save_ggcc(args.out, hp, params)
     print(f"final loss {losses[-1]:.4f} (from {losses[0]:.4f}); wrote {args.out}")
     return 0
