@@ -32,27 +32,38 @@ CHUNK = 64
 greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
 res = {}
 eng = None
+# build the parameter pytree ONCE at max depth; shallower engines reuse the
+# same device buffers (layers alias one prototype anyway) — the repack is
+# the dominant cost of this script on a small host
+hp8 = FalconHParams.falcon40b()
+hp8.n_layer = 8
+t0 = time.time()
+params8 = jax.device_put(make_bench_params(hp8, gtype))
+print(f"params built in {time.time() - t0:.1f}s", flush=True)
 for L in (4, 8):
     hp = FalconHParams.falcon40b()
     hp.n_layer = L
     cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
                        compute_dtype="bfloat16", weight_mode="fused",
                        decode_chunk=CHUNK)
-    params = jax.device_put(make_bench_params(hp, gtype))
+    params = {**params8, "layers": params8["layers"][:L]}
     eng = FalconEngine(hp, params, cfg)
     eng.eval(np.random.default_rng(0).integers(0, hp.n_vocab, 128).tolist())
     t0 = time.time()
     eng.decode_chunk(3, CHUNK, greedy)
     print(f"L={L} decode compile {time.time() - t0:.1f}s", flush=True)
-    eng.rollback(128)
     N = 256
-    t0 = time.perf_counter()
-    eng.decode_pipelined(3, N, CHUNK, greedy)
-    dt = time.perf_counter() - t0
-    res[L] = dt / N * 1e3
-    print(f"{gtype.name} L={L}: {res[L]:.3f} ms/token", flush=True)
+    trials = []
+    for _ in range(3):  # single trials through this device link can read 2x
+        eng.rollback(128)
+        t0 = time.perf_counter()
+        eng.decode_pipelined(3, N, CHUNK, greedy)
+        trials.append((time.perf_counter() - t0) / N * 1e3)
+    res[L] = min(trials)
+    print(f"{gtype.name} L={L}: {res[L]:.3f} ms/token "
+          f"(trials {[f'{t:.3f}' for t in trials]})", flush=True)
     if L != 8:
-        del eng, params
+        del eng
 
 marg = (res[8] - res[4]) / 4
 full = res[8] + marg * 52
