@@ -6,8 +6,8 @@ Usage: python scripts/bench_batched.py [B] [--profile]
 History: r1 vmap'd per-row KV writes lowered to XLA copy cascades (80% of
 step time, 123-235 tok/s aggregate at B=8); r2 defers all layers' writes to
 one scatter with append-aware attention -> 474 tok/s; with the 4608-column
-kernel chunks -> 511 tok/s (64 steps/s, ~1.5x a single-stream step for 8
-rows).
+kernel chunks -> 511 tok/s; with the affine-correction kernel -> 531 tok/s
+(66.4 steps/s, ~1.5x a single-stream step for 8 rows).
 """
 
 import sys
