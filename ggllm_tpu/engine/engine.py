@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ggllm_tpu.core.config import EngineConfig, FalconHParams
 from ggllm_tpu.models import resolve as resolve_model
+from ggllm_tpu.ops import kvcache
 from ggllm_tpu.ops import sampling
 from ggllm_tpu.ops import sampling_device
 from ggllm_tpu.ops.rope import rope_angles
@@ -768,20 +769,35 @@ class FalconEngine:
             psum_axis = "model" if tp else None
             L = ring_len
 
+            kv_dtype = self.cfg.kv_dtype
+
             def loop_body(params, toks, kv, n_past_vec, temp, top_p,
                           top_k_rows, rp, fp, pp, rings, ring_pos, rng):
                 if tp:
                     params = self._tp_local_params(params)
                 B = toks.shape[0]
                 rows = jnp.arange(B, dtype=jnp.int32)
+                # chunk-deferred KV: the scatter's layout round-trip copies
+                # the whole cache twice, so pay it once per chunk, not once
+                # per step — steps accumulate K/V in `pending` and attention
+                # reads cache + pending (models/*.py pending/n_pend path).
+                # Stored at the dense cache dtype so in-chunk reads are
+                # bit-identical to post-scatter reads (int8 caches quantize
+                # at the chunk-end scatter; in-chunk reads see dense values,
+                # as the per-step defer path's current token already did).
+                kvd = kv[0] if isinstance(kv, tuple) else kv
+                L_, _, _, _, KV_, D_ = kvd.shape
+                pdtype = dtype if kv_dtype == "int8" else kvd.dtype
+                pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
 
-                def body(carry, _):
-                    toks, kv, npv, rings, ring_pos, rng = carry
-                    logits, kv = forward(
-                        params, toks[:, None], kv, npv, inv_freq, st,
-                        logits_all=False, compute_dtype=dtype,
+                def body(carry, j):
+                    toks, pending, rings, ring_pos, rng = carry
+                    logits, kv_new = forward(
+                        params, toks[:, None], kv, n_past_vec + j, inv_freq,
+                        st, logits_all=False, compute_dtype=dtype,
                         last_pos=jnp.zeros(B, jnp.int32),
                         unroll=True, psum_axis=psum_axis,
+                        pending=pending, n_pend=j,
                     )
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, B)
@@ -790,12 +806,15 @@ class FalconEngine:
                     nxt = sampling_device.sample_logits_rows(
                         penalized, keys, temp, top_p, top_k, top_k_rows)
                     rings = rings.at[rows, ring_pos % L].set(nxt)
-                    return (nxt, kv, npv + 1, rings, ring_pos + 1, rng), nxt
+                    pending = jax.lax.dynamic_update_slice(
+                        pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                    return (nxt, pending, rings, ring_pos + 1, rng), nxt
 
                 carry, toks_out = jax.lax.scan(
-                    body, (toks, kv, n_past_vec, rings, ring_pos, rng),
-                    length=n_steps)
-                _, kv, _, _, _, rng = carry
+                    body, (toks, pending0, rings, ring_pos, rng),
+                    jnp.arange(n_steps, dtype=jnp.int32))
+                _, pending, _, _, rng = carry
+                kv = kvcache.write_all_layers(kv, pending, n_past_vec)
                 return toks_out, kv, rng
 
             if tp:

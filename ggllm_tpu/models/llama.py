@@ -134,8 +134,13 @@ def llama_forward(
     unroll: bool = False,
     output_hidden: bool = False,
     psum_axis: str | None = None,
+    pending: jnp.ndarray | None = None,
+    n_pend: jnp.ndarray | None = None,
 ):
-    """Same contract as falcon_forward (engine-interchangeable). Under
+    """Same contract as falcon_forward (engine-interchangeable), including
+    the chunk-deferred decode mode (pending/n_pend — see falcon_forward:
+    attention reads cache + the chunk's unwritten K/V and the new block is
+    RETURNED instead of scattered). Under
     tensor parallelism (psum_axis set) wo and w2 are contraction-sharded and
     each residual add reduces the partial output (two collectives/layer —
     sequential residuals, unlike Falcon's single fused psum)."""
@@ -151,12 +156,20 @@ def llama_forward(
         # token (628 ms/token measured); reading the cache + appending the
         # current block, with one scatter at the end, keeps one layout.
         defer = tokens.shape[1] == 1
+        chunked = pending is not None
         deferred = []
         for l in range(st.n_layer):
             lw = layers[l] if isinstance(layers, (list, tuple)) else \
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
-            if defer:
+            if chunked:
+                k, v = kvcache.read_layer(kv, l, q.dtype)
+                app = jnp.concatenate(
+                    [kv_new, pending[l].astype(kv_new.dtype)], axis=2)
+                attn = _attention(q, k, v, n_past, st, kv_append=app,
+                                  append_valid=1 + n_pend)
+                deferred.append(kv_new)
+            elif defer:
                 k, v = kvcache.read_layer(kv, l, q.dtype)
                 attn = _attention(q, k, v, n_past, st, kv_append=kv_new)
                 deferred.append(kv_new)
@@ -173,7 +186,9 @@ def llama_forward(
             if psum_axis is not None:
                 f_out = jax.lax.psum(f_out, psum_axis)
             x = x + f_out
-        if defer:
+        if chunked:
+            kv = jnp.stack(deferred)  # returned for the caller to accumulate
+        elif defer:
             kv = kvcache.write_all_layers(kv, jnp.stack(deferred), n_past_arr)
     else:
         assert psum_axis is None, "TP runs the unrolled (list) layer path"
