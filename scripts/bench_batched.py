@@ -1,13 +1,17 @@
 """Batched decode benchmark + profile on the real chip (B rows decode
 together; the continuous-batching serving path).
 
-Usage: python scripts/bench_batched.py [B] [--profile]
+Usage: python scripts/bench_batched.py [B] [CHUNK] [--profile]
 
 History: r1 vmap'd per-row KV writes lowered to XLA copy cascades (80% of
 step time, 123-235 tok/s aggregate at B=8); r2 defers all layers' writes to
 one scatter with append-aware attention -> 474 tok/s; with the 4608-column
-kernel chunks -> 511 tok/s; with the affine-correction kernel -> 531 tok/s
-(66.4 steps/s, ~1.5x a single-stream step for 8 rows).
+kernel chunks -> 511 tok/s; with the affine-correction kernel -> 531 tok/s;
+deferring the scatter to once per CHUNK (the scatter's layout round-trip
+copies the whole cache twice) -> 599 @chunk16 / 663 @32 / 714 @64 tok/s
+(89.2 steps/s at chunk 64 — 1.25x a single-stream step for 8 rows; larger
+chunks amortize the dispatch gap but add stop-check latency, so the server
+default stays small while throughput serving should pass --decode-chunk 64).
 """
 
 import sys
@@ -23,7 +27,9 @@ from ggllm_tpu.core.dtypes import GGMLType
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.utils.benchgen import make_bench_params
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+args = [a for a in sys.argv[1:] if a != "--profile"]
+B = int(args[0]) if args else 8
+CHUNK = int(args[1]) if len(args) > 1 else 64
 PROFILE = "--profile" in sys.argv
 
 hp = FalconHParams.falcon7b()
@@ -44,23 +50,23 @@ temp = np.zeros(B, np.float32)
 top_p = np.ones(B, np.float32)
 
 t0 = time.time()
-out, key = eng.decode_rows(toks, n_past, 16, temp, top_p)
+out, key = eng.decode_rows(toks, n_past, CHUNK, temp, top_p)
 print(f"compile {time.time()-t0:.1f}s", flush=True)
 
-N = 128
+N = 128 if CHUNK <= 128 else CHUNK
 t0 = time.perf_counter()
 done = 0
 while done < N:
-    out, key = eng.decode_rows(out[-1], n_past + done, 16, temp, top_p,
+    out, key = eng.decode_rows(out[-1], n_past + done, CHUNK, temp, top_p,
                                rng_key=key)
-    done += 16
+    done += CHUNK
 dt = time.perf_counter() - t0
-print(f"B={B}: {N} steps in {dt:.3f}s -> {N/dt:.1f} steps/s, "
+print(f"B={B} chunk={CHUNK}: {N} steps in {dt:.3f}s -> {N/dt:.1f} steps/s, "
       f"{B*N/dt:.1f} tok/s aggregate", flush=True)
 
 if PROFILE:
     jax.profiler.start_trace("/tmp/batched_trace")
-    out, key = eng.decode_rows(out[-1], n_past + done, 16, temp, top_p,
+    out, key = eng.decode_rows(out[-1], n_past + done, CHUNK, temp, top_p,
                                rng_key=key)
     jax.profiler.stop_trace()
     print("trace written to /tmp/batched_trace")
