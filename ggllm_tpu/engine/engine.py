@@ -648,7 +648,6 @@ class FalconEngine:
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the
         reference embedding example's output (examples/embedding)."""
-        assert not self.sp_axis_size, "embed: not supported in sequence-parallel mode"
         tokens = np.asarray(tokens, dtype=np.int32).reshape(-1)
         # evaluate all but the final chunk through the normal prefill path,
         # then one hidden-output forward for the tail
@@ -657,7 +656,30 @@ class FalconEngine:
             head = tokens.size - step
             self.eval_tokens(tokens[:head])
             tokens = tokens[head:]
-        key = ("embed", _bucket(tokens.size, self.cfg.n_batch))
+        pad = _bucket(tokens.size, self.cfg.n_batch)
+        if self.sp_axis_size:
+            # the tail runs through the sequence-sharded prefill body, whose
+            # chunk must divide over the model axis (decode-sized buckets
+            # cannot): round up to a shardable prefill bucket
+            pad = max(pad, PREFILL_BUCKETS[0])
+        key = ("embed", pad)
+        if self.sp_axis_size and key not in self._fwd:
+            # sequence-parallel: sp_prefill with the hidden-state output
+            # (pad below is a prefill bucket, which the mesh axis divides)
+            from jax.sharding import PartitionSpec as P
+            from ggllm_tpu.parallel import sp as sp_mod
+
+            inv_freq, dtype, st = self.inv_freq, self.compute_dtype, self.st
+
+            def sp_body(params, toks, kv, n_past, last_pos):
+                return sp_mod.sp_prefill(
+                    params, toks, kv, n_past, inv_freq, st,
+                    compute_dtype=dtype, last_pos=last_pos,
+                    output_hidden=True)
+
+            self._fwd[key] = jax.jit(
+                self._sp_wrap(sp_body, P(None, "model"), P()),
+                donate_argnums=(2,))
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
@@ -702,9 +724,25 @@ class FalconEngine:
     # scalar self.n_past untouched; the ContinuousBatcher owns row state.
 
     def _forward_rows_fn(self, seq_len: int):
-        assert not self.sp_axis_size, \
-            "continuous batching is not supported in sequence-parallel mode"
         key = ("rows", seq_len)
+        if self.sp_axis_size and key not in self._fwd:
+            # sequence-parallel row prefill: the row's chunk shards over the
+            # time axis (ring-attention prefill), per-row n_past/last_pos
+            from jax.sharding import PartitionSpec as P
+            from ggllm_tpu.parallel import sp as sp_mod
+
+            inv_freq, dtype, st = self.inv_freq, self.compute_dtype, self.st
+            assert seq_len % self.sp_axis_size == 0, \
+                "row-prefill bucket must divide over the model axis"
+
+            def sp_body(params, tokens, kv, n_past_vec, last_pos_vec):
+                return sp_mod.sp_prefill(
+                    params, tokens, kv, n_past_vec, inv_freq, st,
+                    compute_dtype=dtype, last_pos=last_pos_vec)
+
+            self._fwd[key] = jax.jit(
+                self._sp_wrap(sp_body, P(None, "model"), P()),
+                donate_argnums=(2,))
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
@@ -743,6 +781,10 @@ class FalconEngine:
         while done < tokens.size:
             chunk = tokens[done : done + step]
             pad = _bucket(chunk.size, self.cfg.n_batch)
+            if self.sp_axis_size:
+                # 1-token prompts bucket to 1, which cannot shard over the
+                # time axis: round up to a shardable prefill bucket
+                pad = max(pad, PREFILL_BUCKETS[0])
             buf = np.zeros((self.batch, pad), dtype=np.int32)
             buf[row, : chunk.size] = chunk
             last = np.zeros(self.batch, dtype=np.int32)
@@ -761,6 +803,8 @@ class FalconEngine:
 
     def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int):
         key = ("rowloop", n_steps, top_k, ring_len)
+        if self.sp_axis_size and key not in self._fwd:
+            self._fwd[key] = self._decode_rows_fn_sp(n_steps, top_k, ring_len)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
@@ -828,6 +872,61 @@ class FalconEngine:
 
             self._fwd[key] = loop
         return self._fwd[key]
+
+    def _decode_rows_fn_sp(self, n_steps: int, top_k: int, ring_len: int):
+        """Batched decode loop in sequence-parallel mode: per-row positions
+        over the time-sharded cache (merged-partial attention with the
+        chunk's pending K/V appended on device 0 only), ONE local scatter
+        per chunk."""
+        from jax.sharding import PartitionSpec as P
+        from ggllm_tpu.parallel import sp as sp_mod
+
+        inv_freq, dtype, st = self.inv_freq, self.compute_dtype, self.st
+        L = ring_len
+        kv_dtype = self.cfg.kv_dtype
+
+        def loop_body(params, toks, kv, n_past_vec, temp, top_p,
+                      top_k_rows, rp, fp, pp, rings, ring_pos, rng):
+            B = toks.shape[0]
+            rows = jnp.arange(B, dtype=jnp.int32)
+            kvd = kv[0] if isinstance(kv, tuple) else kv
+            L_, _, _, Tl, KV_, D_ = kvd.shape  # local time shard
+            pdtype = dtype if kv_dtype == "int8" else kvd.dtype
+            pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
+
+            def body(carry, j):
+                toks, pending, rings, ring_pos, rng = carry
+                logits, kv_new = sp_mod.sp_decode_rows(
+                    params, toks[:, None], kv, n_past_vec + j, inv_freq,
+                    st, pending, j, compute_dtype=dtype)
+                rng, sub = jax.random.split(rng)
+                keys = jax.random.split(sub, B)
+                penalized = sampling_device.apply_penalties_rows(
+                    logits[:, 0], rings, rp, fp, pp)
+                nxt = sampling_device.sample_logits_rows(
+                    penalized, keys, temp, top_p, top_k, top_k_rows)
+                rings = rings.at[rows, ring_pos % L].set(nxt)
+                pending = jax.lax.dynamic_update_slice(
+                    pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                return (nxt, pending, rings, ring_pos + 1, rng), nxt
+
+            carry, toks_out = jax.lax.scan(
+                body, (toks, pending0, rings, ring_pos, rng),
+                jnp.arange(n_steps, dtype=jnp.int32))
+            _, pending, _, _, rng = carry
+            idx = jax.lax.axis_index("model")
+            kv = kvcache.write_all_layers(kv, pending, n_past_vec,
+                                          local=(idx * Tl, Tl))
+            return toks_out, kv, rng
+
+        pspecs = sp_mod.sp_param_specs(self.params)
+        kvs = sp_mod.kv_spec()
+        return jax.jit(jax.shard_map(
+            loop_body, mesh=self.mesh,
+            in_specs=(pspecs, P(), kvs) + (P(),) * 10,
+            out_specs=(P(), kvs, P()),
+            check_vma=False,
+        ), donate_argnums=(2,))
 
     def decode_rows(self, toks, n_past_vec, n_steps: int, temp, top_p,
                     top_k: int = 64, rng_key=None, active_rows: int | None = None,

@@ -26,12 +26,13 @@ def ring_attention(
     k: jnp.ndarray,  # (B, Tl, KV, D) — this device's KV block
     v: jnp.ndarray,
     axis_name: str,
-    n_past=0,  # scalar int32: global positions already in cache before q
+    n_past=0,  # scalar or (B,) int32: global positions in cache before q
 ) -> jnp.ndarray:
     """Causal MQA/GQA attention with KV sharded over `axis_name`.
 
     Device i owns query positions [n_past + i*Sl, ...) and key positions
-    [i*Tl, ...). Returns this device's (B, Sl, H, D) output block.
+    [i*Tl, ...). n_past may be per-row (B,) — the continuous-batching row
+    prefill. Returns this device's (B, Sl, H, D) output block.
     """
     B, Sl, H, D = q.shape
     Tl, KV = k.shape[1], k.shape[2]
@@ -39,10 +40,11 @@ def ring_attention(
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
     scale = 1.0 / (D ** 0.5)
-    n_past = jnp.asarray(n_past, jnp.int32)
+    n_past = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
 
     qf = q.reshape(B, Sl, KV, G, D).astype(jnp.float32)
-    q_pos = n_past + idx * Sl + jnp.arange(Sl, dtype=jnp.int32)  # (Sl,)
+    q_pos = (n_past[:, None] + idx * Sl
+             + jnp.arange(Sl, dtype=jnp.int32)[None, :])  # (B, Sl)
 
     acc = jnp.zeros((B, Sl, H, D), jnp.float32)
     m = jnp.full((B, KV, G, Sl, 1), NEG_INF, jnp.float32)
@@ -55,8 +57,8 @@ def ring_attention(
 
         s = jnp.einsum("bskgd,btkd->bkgst", qf, k.astype(jnp.float32),
                        precision=jax.lax.Precision.HIGHEST) * scale
-        mask = k_pos[None, :] <= q_pos[:, None]  # (Sl, Tl)
-        s = jnp.where(mask[None, None, None], s, NEG_INF)
+        mask = k_pos[None, None, :] <= q_pos[:, :, None]  # (B, Sl, Tl)
+        s = jnp.where(mask[:, None, None], s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)  # (B, KV, G, Sl, Tl)

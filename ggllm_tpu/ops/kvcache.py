@@ -86,11 +86,15 @@ def write_layer(kv, kv_new, l: int, n_past):
     return jax.tree.map(upd, kv, new_tree)
 
 
-def write_all_layers(kv, kv_new_stacked, n_past):
+def write_all_layers(kv, kv_new_stacked, n_past, local=None):
     """ONE scatter writing every layer's kv_new (L,2,B,S,KV,D) at per-row
     offsets. The batched decode path defers its per-layer writes here —
     32 separate scatters on the stacked cache each materialized copies in
-    XLA; a single scatter is one (ideally in-place) update."""
+    XLA; a single scatter is one (ideally in-place) update.
+
+    local=(start, Tl): the cache is a time-shard holding GLOBAL rows
+    [start, start+Tl) (sequence-parallel mode) — positions are rebased and
+    out-of-window entries drop."""
     is_q = isinstance(kv, tuple)
     new_tree = kv_new_stacked
     if is_q:
@@ -103,6 +107,10 @@ def write_all_layers(kv, kv_new_stacked, n_past):
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1)
     n_past = jnp.asarray(n_past, jnp.int32).reshape(-1)
     pos = n_past[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B,S)
+    if local is not None:
+        start, Tl = local
+        pos = pos - start
+        pos = jnp.where((pos >= 0) & (pos < Tl), pos, Tl)  # OOB -> dropped
 
     def upd(c, n):
         # advanced indices on contiguous axes (2,3): update keeps layout

@@ -106,3 +106,44 @@ def test_sp_pipelined_decode_matches(model_file):
     got, _ = e2.decode_pipelined(first, 12, 4, greedy,
                                  last_tokens=prompt + [first])
     assert [int(t) for t in got] == [int(t) for t in ref]
+
+
+def test_sp_embed_matches(model_file):
+    """engine.embed under sequence-parallel: final normed hidden at the last
+    prompt position equals the single-device path (owner-select + psum in
+    sp_prefill output_hidden mode)."""
+    e1, e2 = _engines(model_file, 2)
+    prompt = [5, 17, 130, 42, 99, 260, 31]
+    h1 = e1.embed(prompt)
+    h2 = e2.embed(prompt)
+    scale = np.abs(h1).max() + 1e-6
+    np.testing.assert_allclose(h2 / scale, h1 / scale, atol=5e-5)
+
+
+def test_sp_continuous_batching_matches(model_file):
+    """ContinuousBatcher over a sequence-parallel engine: per-row prefill
+    shards each row's chunk over the time axis (ring attention, per-row
+    positions) and the batched decode loop merges partial attention over the
+    shards with the chunk's pending K/V counted once (device 0) — outputs
+    must equal sequential single-device generation exactly (greedy, f32)."""
+    from ggllm_tpu.engine.batching import ContinuousBatcher, Request
+
+    mf = read_model(model_file)
+    greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+    prompts = [[5, 17, 130, 42], [300, 301, 302, 303, 304, 305], [7]]
+    n_predict = 14
+    ref = []
+    for p in prompts:
+        cfg = _cfg(kernel_layout=True)
+        e = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+        ref.append(e.generate(p, n_predict=n_predict, sampler=greedy))
+
+    mesh = make_mesh(data=1, model=2)
+    cfg2 = _cfg(kernel_layout=True, kv_shard="sequence")
+    e2 = FalconEngine(mf.hparams, load_params(mf, cfg2), cfg2,
+                      batch_size=2, mesh=mesh)
+    cb = ContinuousBatcher(e2, chunk=6)
+    reqs = [cb.submit(Request(p, n_predict=n_predict)) for p in prompts]
+    cb.run()
+    for req, expected in zip(reqs, ref):
+        assert req.out == expected, f"request {req.rid} diverged"
