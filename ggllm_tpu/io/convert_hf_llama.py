@@ -1,15 +1,24 @@
-"""HF LLaMA checkpoint -> GGJT v3 converter (convert.py equivalent).
+"""LLaMA checkpoint -> GGJT v3 converter (convert.py equivalent).
 
-Key transforms (mirroring the reference converter semantics):
+Accepts both input layouts the reference converter does:
 
-* wq/wk rope permutation: HF LLaMA applies rotary embedding over
+* **HF directories** (config.json + .safetensors / pytorch_model*.bin):
+  wq/wk need the rope permutation — HF applies rotary embedding over
   half-split dims; ggml uses interleaved adjacent pairs, so the q/k
   projection rows are permuted ``(H, 2, D/2, E) -> (H, D/2, 2, E)``;
-* tensor name mapping model.layers.N.self_attn.q_proj -> layers.N.attention.wq
-  etc.;
-* vocab from tokenizer.model (SentencePiece ModelProto, parsed with a
-  minimal built-in protobuf reader — pieces field 1 {piece=1, score=2}),
-  falling back to tokenizer.json with rank-derived scores.
+  tensor names are mapped model.layers.N.self_attn.q_proj ->
+  layers.N.attention.wq etc.
+* **Original Meta directories** (params.json + consolidated.NN.pth),
+  the scope of the reference's convert.py:91-160 / convert-pth-to-ggml.py:
+  tensor names already match ggml, NO rope permutation (Meta's rotary
+  code uses the interleaved-pair view ggml inherited), and the
+  model-parallel shards are concatenated per tensor family (column-
+  parallel wq/wk/wv/w1/w3/output on axis 0, row-parallel wo/w2 and the
+  ParallelEmbedding tok_embeddings on axis 1, norms duplicated).
+
+Vocab comes from tokenizer.model (SentencePiece ModelProto, parsed with a
+minimal built-in protobuf reader — pieces field 1 {piece=1, score=2}),
+falling back to tokenizer.json with rank-derived scores.
 """
 
 from __future__ import annotations
@@ -216,15 +225,87 @@ def convert(dir_model: str, out_path: str, ftype: str = "f16", log=print) -> Lla
     return hp
 
 
+def _meta_shard_axis(name: str) -> int | None:
+    """Concat axis for Meta model-parallel shards (None = duplicated)."""
+    if name == "tok_embeddings.weight":
+        return 1  # ParallelEmbedding splits the embedding dim
+    if name == "output.weight" or name.endswith((
+            "attention.wq.weight", "attention.wk.weight",
+            "attention.wv.weight", "feed_forward.w1.weight",
+            "feed_forward.w3.weight")):
+        return 0  # column-parallel
+    if name.endswith(("attention.wo.weight", "feed_forward.w2.weight")):
+        return 1  # row-parallel
+    return None
+
+
+def convert_pth(dir_model: str, out_path: str, ftype: str = "f16",
+                log=print) -> LlamaHParams:
+    """Original Meta LLaMA checkpoint dir -> GGJT v3.
+
+    Expects params.json + consolidated.NN.pth (+ tokenizer.model in the
+    directory or its parent, where Meta distributions keep the shared one).
+    """
+    import torch
+
+    dir_model = Path(dir_model)
+    with open(dir_model / "params.json") as f:
+        params = json.load(f)
+    parts = sorted(dir_model.glob("consolidated.*.pth"))
+    if not parts:
+        raise FileNotFoundError(f"no consolidated.*.pth shards in {dir_model}")
+    shards = [torch.load(str(p), map_location="cpu", weights_only=True)
+              for p in parts]
+
+    n_embd = params["dim"]
+    n_head = params["n_heads"]
+    n_layer = params["n_layers"]
+    n_mult = params.get("multiple_of", 256)
+    n_vocab = params.get("vocab_size", -1)
+    if n_vocab <= 0:  # llama-1 params.json says -1; the embedding knows
+        n_vocab = shards[0]["tok_embeddings.weight"].shape[0]
+    hp = LlamaHParams(
+        n_vocab=n_vocab, n_embd=n_embd, n_mult=n_mult, n_head=n_head,
+        n_layer=n_layer, n_rot=n_embd // n_head,
+        ftype=int(FType.MOSTLY_F16 if ftype == "f16" else FType.ALL_F32),
+    )
+
+    sp_dir = dir_model if (dir_model / "tokenizer.model").exists() \
+        else dir_model.parent
+    vocab = build_vocab(sp_dir, n_vocab)
+    writer = GGJTWriter(out_path, hp, vocab)
+    for name in shards[0]:
+        if name == "rope.freqs":  # recomputed at runtime
+            continue
+        axis = _meta_shard_axis(name)
+        if len(shards) == 1 or axis is None:
+            t = shards[0][name]
+        else:
+            t = torch.cat([sd[name] for sd in shards], dim=axis)
+        data = np.asarray(t.to(torch.float32).numpy())
+        if name.endswith("feed_forward.w1.weight") and data.shape[0] != hp.n_ff:
+            raise ValueError(
+                f"checkpoint n_ff {data.shape[0]} != {hp.n_ff} derived from "
+                f"multiple_of={n_mult} (not expressible in a GGJT v1 header)")
+        gtype = GGMLType.F16 if (ftype == "f16" and data.ndim == 2) else GGMLType.F32
+        writer.write_array(name, data, gtype)
+        log(f"  | {name} {tuple(data.shape)} -> {gtype.name}")
+    writer.close()
+    return hp
+
+
 def main(argv=None):
     import argparse
 
-    ap = argparse.ArgumentParser(description="HF LLaMA -> GGJT v3")
+    ap = argparse.ArgumentParser(description="LLaMA (HF or Meta .pth) -> GGJT v3")
     ap.add_argument("dir_model")
     ap.add_argument("out_path")
     ap.add_argument("--ftype", choices=["f16", "f32"], default="f16")
     args = ap.parse_args(argv)
-    convert(args.dir_model, args.out_path, args.ftype)
+    if Path(args.dir_model, "params.json").exists():
+        convert_pth(args.dir_model, args.out_path, args.ftype)
+    else:
+        convert(args.dir_model, args.out_path, args.ftype)
 
 
 if __name__ == "__main__":
