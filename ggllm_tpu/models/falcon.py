@@ -165,6 +165,25 @@ def _attention(
     return out.reshape(B, S, H, D).astype(q.dtype)
 
 
+def _attention_decode(kv, l: int, q, n_past, st, kv_append=None,
+                      append_valid=None):
+    """S=1 attention for the unrolled decode loops: the Pallas flash-decode
+    kernel reads only the valid cache prefix from the STACKED cache (no
+    per-layer slice, no full-buffer f32 conversion — kernels/flash_decode);
+    einsum fallback for int8 caches and non-flash engines."""
+    from ggllm_tpu.kernels.flash_decode import flash_decode, supported
+
+    if (isinstance(kv, tuple) or not getattr(st, "flash", False)
+            or not supported(st.n_head_kv, st.head_dim)):
+        k, v = kvcache.read_layer(kv, l, q.dtype)
+        return _attention(q, k, v, n_past, st, kv_append=kv_append,
+                          append_valid=append_valid)
+    from ggllm_tpu.kernels.dispatch import _on_tpu
+
+    return flash_decode(kv, l, q, n_past, kv_append=kv_append,
+                        append_valid=append_valid, interpret=not _on_tpu())
+
+
 def _project_merged(x_ln: jnp.ndarray, lw: dict, st: FalconStatic):
     """Merged wqkvu path -> (qkv (B,S,(H+2KV)*D), ff (B,S,F))."""
     n_qkv = (st.n_head + 2 * st.n_head_kv) * st.head_dim
@@ -306,18 +325,20 @@ def falcon_forward(
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new, gf = _layer_pre(x, lw, n_past, inv_freq, st)
             if chunked:
-                k, v = kvcache.read_layer(kv, l, q.dtype)
                 app = jnp.concatenate(
                     [kv_new, pending[l].astype(kv_new.dtype)], axis=2)
-                attn = _attention(q, k, v, n_past, st, kv_append=app,
-                                  append_valid=1 + n_pend)
+                attn = _attention_decode(kv, l, q, n_past, st, kv_append=app,
+                                         append_valid=1 + n_pend)
                 deferred.append(kv_new)
             elif defer:
-                k, v = kvcache.read_layer(kv, l, q.dtype)
-                attn = _attention(q, k, v, n_past, st, kv_append=kv_new)
+                attn = _attention_decode(kv, l, q, n_past, st,
+                                         kv_append=kv_new)
                 deferred.append(kv_new)
-            else:
+            elif tokens.shape[1] == 1:
                 # single small in-place write into the donated stacked cache
+                kv = kvcache.write_layer(kv, kv_new, l, n_past)
+                attn = _attention_decode(kv, l, q, n_past, st)
+            else:
                 kv = kvcache.write_layer(kv, kv_new, l, n_past)
                 k, v = kvcache.read_layer(kv, l, q.dtype)
                 attn = _attention(q, k, v, n_past, st)

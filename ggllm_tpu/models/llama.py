@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ggllm_tpu.core.config import LlamaHParams
-from ggllm_tpu.models.falcon import _attention, _positions, select_last
+from ggllm_tpu.models.falcon import (_attention, _attention_decode,
+                                     _positions, select_last)
 from ggllm_tpu.ops import kvcache
 from ggllm_tpu.ops.linear import linear
 
@@ -163,15 +164,14 @@ def llama_forward(
                 jax.tree.map(lambda a, _l=l: a[_l], layers)
             q, kv_new = _layer_pre(x, lw, n_past, inv_freq, st)
             if chunked:
-                k, v = kvcache.read_layer(kv, l, q.dtype)
                 app = jnp.concatenate(
                     [kv_new, pending[l].astype(kv_new.dtype)], axis=2)
-                attn = _attention(q, k, v, n_past, st, kv_append=app,
-                                  append_valid=1 + n_pend)
+                attn = _attention_decode(kv, l, q, n_past, st, kv_append=app,
+                                         append_valid=1 + n_pend)
                 deferred.append(kv_new)
             elif defer:
-                k, v = kvcache.read_layer(kv, l, q.dtype)
-                attn = _attention(q, k, v, n_past, st, kv_append=kv_new)
+                attn = _attention_decode(kv, l, q, n_past, st,
+                                         kv_append=kv_new)
                 deferred.append(kv_new)
             else:
                 kv = kvcache.write_layer(kv, kv_new, l, n_past)
