@@ -12,11 +12,15 @@ n_past is invisible (attention masks t <= q_pos) and gets overwritten as the
 row advances. Rows finishing mid-chunk simply stop consuming tokens — their
 remaining chunk writes land beyond the final position and are ignored.
 
-Sampler coverage per request: greedy/temp/top-k (<= the batcher's static
-cap)/top-p plus repetition/frequency/presence penalties over a fixed
-recent-token window (device ring buffers, rebuilt from each row's history at
-chunk boundaries). tfs/typical/mirostat/logit-bias requests should use the
-single-stream engine path.
+Sampler coverage per request: the FULL cascade, per row, on device —
+greedy/temp/top-k (<= the batcher's static cap)/top-p/tail-free/typical,
+repetition/frequency/presence penalties over a fixed recent-token window
+(device ring buffers, rebuilt from each row's history at chunk boundaries),
+sparse per-row logit bias (<= 64 entries), and mirostat v1/v2 with per-row
+adaptive mu carried across chunks. Exactness bounds (ops/sampling_device):
+tfs/typical/top-p are exact for per-request top_k <= the batcher cap;
+mirostat is exact while its dynamic keep-set stays within the 512-candidate
+device slice.
 """
 
 from __future__ import annotations
@@ -43,6 +47,12 @@ class Request:
     repeat_penalty: float = 1.0
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
+    tfs_z: float = 1.0
+    typical_p: float = 1.0
+    mirostat: int = 0  # 0 off, 1/2 = v1/v2 (per-row adaptive mu on device)
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+    logit_bias: dict = field(default_factory=dict)  # token id -> bias
     stop_ids: frozenset = frozenset()
     # optional per-token callback(token_id); returning False stops the row
     stream: object = None
@@ -56,6 +66,8 @@ class Request:
     out: list = field(default_factory=list)
     done: bool = False
     row: int = -1
+    mu: float = 0.0  # mirostat state (2*tau at admit, device-updated)
+    us: list = field(default_factory=list)  # uniform draws consumed (replay)
 
 
 class ContinuousBatcher:
@@ -76,6 +88,12 @@ class ContinuousBatcher:
         self.rp = np.ones(self.B, dtype=np.float32)
         self.fp = np.zeros(self.B, dtype=np.float32)
         self.pp = np.zeros(self.B, dtype=np.float32)
+        self.tfs = np.ones(self.B, dtype=np.float32)
+        self.typ = np.ones(self.B, dtype=np.float32)
+        self.mmode = np.zeros(self.B, dtype=np.int32)
+        self.mtau = np.full(self.B, 5.0, dtype=np.float32)
+        self.meta = np.full(self.B, 0.1, dtype=np.float32)
+        self.mu = np.full(self.B, 10.0, dtype=np.float32)
         self.rng = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
 
@@ -140,26 +158,43 @@ class ContinuousBatcher:
             self.rp[row] = req.repeat_penalty
             self.fp[row] = req.frequency_penalty
             self.pp[row] = req.presence_penalty
+            self.tfs[row] = req.tfs_z
+            self.typ[row] = req.typical_p
+            self.mmode[row] = req.mirostat
+            self.mtau[row] = req.mirostat_tau
+            self.meta[row] = req.mirostat_eta
+            self.mu[row] = req.mu
 
     def _sample_first(self, logits: np.ndarray, req: Request) -> int:
-        # first token after prefill: host-side penalties + draw (the device
-        # loop handles the rest)
+        # first token after prefill: the FULL host cascade (the reference
+        # path), with the draw recorded on req.us so tests can replay it;
+        # mirostat mu flows into the device loop via req.mu
         from ggllm_tpu.ops import sampling
 
-        c = sampling.Candidates.from_logits(logits)
-        window = np.asarray(req.prompt_ids[-RING_LEN:], np.int32)
-        sampling.repetition_penalty(c, window, req.repeat_penalty)
-        sampling.frequency_presence_penalties(
-            c, window, req.frequency_penalty, req.presence_penalty)
-        if req.temp <= 0:
-            return sampling.greedy(c)
-        sampling.top_k(c, min(req.top_k, self.top_k) if req.top_k > 0
-                       else self.top_k, 1)
-        sampling.top_p(c, req.top_p, 1)
-        sampling.temperature(c, req.temp)
+        params = sampling.SamplerParams(
+            temp=req.temp,
+            top_k=min(req.top_k, self.top_k) if req.top_k > 0 else self.top_k,
+            top_p=req.top_p, tfs_z=req.tfs_z, typical_p=req.typical_p,
+            repeat_penalty=req.repeat_penalty, repeat_last_n=RING_LEN,
+            frequency_penalty=req.frequency_penalty,
+            presence_penalty=req.presence_penalty,
+            mirostat=req.mirostat, mirostat_tau=req.mirostat_tau,
+            mirostat_eta=req.mirostat_eta, logit_bias=dict(req.logit_bias))
         self.rng, sub = jax.random.split(self.rng)
-        rng = np.random.default_rng(int(np.asarray(sub)[0]))
-        return sampling.sample_token(c, rng)
+        base = np.random.default_rng(int(np.asarray(sub)[0]))
+
+        class _Rec:
+            def random(_self):
+                u = base.random()
+                req.us.append(float(u))
+                return u
+
+        state = sampling.SamplerState(rng=_Rec(),
+                                      mu=2.0 * req.mirostat_tau)
+        tok = sampling.sample(logits, req.prompt_ids, params, state,
+                              n_ctx=self.eng.cfg.n_ctx)
+        req.mu = state.mu
+        return tok
 
     def _emit(self, req: Request, tok: int):
         req.out.append(tok)
@@ -181,6 +216,12 @@ class ContinuousBatcher:
         self.rp[row] = 1.0
         self.fp[row] = 0.0
         self.pp[row] = 0.0
+        self.tfs[row] = 1.0
+        self.typ[row] = 1.0
+        self.mmode[row] = 0
+        self.mtau[row] = 5.0
+        self.meta[row] = 0.1
+        self.mu[row] = 10.0
         self.last_tok[row] = 0
 
     def _rings(self) -> tuple[np.ndarray, np.ndarray]:
@@ -198,6 +239,25 @@ class ContinuousBatcher:
             fill[row] = len(hist)
         return rings, fill
 
+    def _bias_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row sparse logit bias as fixed-width (B, NB) arrays (empty
+        slots = n_vocab, scatter-dropped). NB snaps to {0, 8, 64} so the jit
+        cache sees few distinct widths; entries beyond 64 are dropped."""
+        n_max = max((len(r.logit_bias) for r in self.rows if r is not None),
+                    default=0)
+        NB = 0 if n_max == 0 else (8 if n_max <= 8 else 64)
+        V = self.eng.hp.n_vocab
+        ids = np.full((self.B, NB), V, np.int32)
+        vals = np.zeros((self.B, NB), np.float32)
+        for row, req in enumerate(self.rows):
+            if req is None:
+                continue
+            for i, (t, b) in enumerate(sorted(req.logit_bias.items())[:NB]):
+                if 0 <= int(t) < V:
+                    ids[row, i] = int(t)
+                    vals[row, i] = float(b)
+        return ids, vals
+
     def _decode_chunk(self):
         # rows with a full context end now (no tokens left to produce)
         for row, req in enumerate(self.rows):
@@ -207,15 +267,28 @@ class ContinuousBatcher:
         if not self.active:
             return
         rings, fill = self._rings()
-        toks, self.rng = self.eng.decode_rows(
+        bias_ids, bias_vals = self._bias_arrays()
+        res = self.eng.decode_rows(
             self.last_tok, self.n_past, self.chunk, self.temp, self.top_p,
             top_k=self.top_k, rng_key=self.rng, active_rows=len(self.active),
             top_k_rows=self.top_k_rows, repeat_penalty=self.rp,
             frequency_penalty=self.fp, presence_penalty=self.pp,
-            rings=rings, ring_fill=fill)
+            rings=rings, ring_fill=fill,
+            tfs_z=self.tfs, typical_p=self.typ,
+            bias_ids=bias_ids, bias_vals=bias_vals,
+            miro_mode=self.mmode, miro_tau=self.mtau, miro_eta=self.meta,
+            miro_mu=self.mu)
+        if len(res) == 4:
+            toks, self.rng, new_mu, us = res
+            self.mu = np.array(new_mu, np.float32)  # writable copy
+        else:
+            toks, self.rng = res
+            us = self.eng.last_us
         for row, req in enumerate(self.rows):
             if req is None:
                 continue
+            if req.mirostat:
+                req.mu = float(self.mu[row])
             # a row near the context limit still consumes the in-context
             # tokens from this chunk (KV writes past n_ctx land in the
             # scratch region and are ignored); positions beyond avail are
@@ -226,6 +299,8 @@ class ContinuousBatcher:
             for j in range(min(self.chunk, avail)):
                 tok = int(toks[j, row])
                 consumed = j + 1
+                if req.temp > 0:  # the host cascade draws one u per token
+                    req.us.append(float(us[j, row]))
                 self._emit(req, tok)
                 if req.done:
                     break

@@ -801,10 +801,12 @@ class FalconEngine:
             done += chunk.size
         return logits
 
-    def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int):
-        key = ("rowloop", n_steps, top_k, ring_len)
+    def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int,
+                        n_bias: int = 0, use_miro: bool = False):
+        key = ("rowloop", n_steps, top_k, ring_len, n_bias, use_miro)
         if self.sp_axis_size and key not in self._fwd:
-            self._fwd[key] = self._decode_rows_fn_sp(n_steps, top_k, ring_len)
+            self._fwd[key] = self._decode_rows_fn_sp(
+                n_steps, top_k, ring_len, n_bias, use_miro)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
@@ -812,11 +814,14 @@ class FalconEngine:
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
             L = ring_len
+            n_vocab = self.hp.n_vocab
 
             kv_dtype = self.cfg.kv_dtype
 
             def loop_body(params, toks, kv, n_past_vec, temp, top_p,
-                          top_k_rows, rp, fp, pp, rings, ring_pos, rng):
+                          top_k_rows, rp, fp, pp, rings, ring_pos,
+                          tfs, typ, bias_ids, bias_vals,
+                          mmode, mtau, meta, mu, rng):
                 if tp:
                     params = self._tp_local_params(params)
                 B = toks.shape[0]
@@ -835,7 +840,7 @@ class FalconEngine:
                 pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
 
                 def body(carry, j):
-                    toks, pending, rings, ring_pos, rng = carry
+                    toks, pending, rings, ring_pos, mu, rng = carry
                     logits, kv_new = forward(
                         params, toks[:, None], kv, n_past_vec + j, inv_freq,
                         st, logits_all=False, compute_dtype=dtype,
@@ -845,27 +850,37 @@ class FalconEngine:
                     )
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, B)
+                    u = jax.vmap(lambda kk: jax.random.uniform(kk, ()))(keys)
+                    lg = logits[:, 0]
+                    if n_bias:
+                        lg = sampling_device.apply_bias_rows(
+                            lg, bias_ids, bias_vals)
                     penalized = sampling_device.apply_penalties_rows(
-                        logits[:, 0], rings, rp, fp, pp)
-                    nxt = sampling_device.sample_logits_rows(
-                        penalized, keys, temp, top_p, top_k, top_k_rows)
+                        lg, rings, rp, fp, pp)
+                    nxt, mu = sampling_device.sample_rows_u(
+                        penalized, u, temp, top_p, top_k, top_k_rows,
+                        tfs, typ,
+                        miro_mode=mmode if use_miro else None,
+                        miro_tau=mtau, miro_eta=meta, miro_mu=mu,
+                        n_vocab=n_vocab)
                     rings = rings.at[rows, ring_pos % L].set(nxt)
                     pending = jax.lax.dynamic_update_slice(
                         pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
-                    return (nxt, pending, rings, ring_pos + 1, rng), nxt
+                    return (nxt, pending, rings, ring_pos + 1, mu, rng), \
+                        (nxt, u)
 
-                carry, toks_out = jax.lax.scan(
-                    body, (toks, pending0, rings, ring_pos, rng),
+                carry, (toks_out, us) = jax.lax.scan(
+                    body, (toks, pending0, rings, ring_pos, mu, rng),
                     jnp.arange(n_steps, dtype=jnp.int32))
-                _, pending, _, _, rng = carry
+                _, pending, _, _, mu, rng = carry
                 kv = kvcache.write_all_layers(kv, pending, n_past_vec)
-                return toks_out, kv, rng
+                return toks_out, us, kv, mu, rng
 
             if tp:
                 loop = jax.jit(
                     self._tp_wrap(loop_body,
-                                  ("x", "kv") + ("x",) * 10,
-                                  ("x", "kv", "x")),
+                                  ("x", "kv") + ("x",) * 18,
+                                  ("x", "x", "kv", "x", "x")),
                     donate_argnums=(2,))
             else:
                 loop = jax.jit(loop_body, donate_argnums=(2,))
@@ -873,7 +888,8 @@ class FalconEngine:
             self._fwd[key] = loop
         return self._fwd[key]
 
-    def _decode_rows_fn_sp(self, n_steps: int, top_k: int, ring_len: int):
+    def _decode_rows_fn_sp(self, n_steps: int, top_k: int, ring_len: int,
+                           n_bias: int = 0, use_miro: bool = False):
         """Batched decode loop in sequence-parallel mode: per-row positions
         over the time-sharded cache (merged-partial attention with the
         chunk's pending K/V appended on device 0 only), ONE local scatter
@@ -884,9 +900,12 @@ class FalconEngine:
         inv_freq, dtype, st = self.inv_freq, self.compute_dtype, self.st
         L = ring_len
         kv_dtype = self.cfg.kv_dtype
+        n_vocab = self.hp.n_vocab
 
         def loop_body(params, toks, kv, n_past_vec, temp, top_p,
-                      top_k_rows, rp, fp, pp, rings, ring_pos, rng):
+                      top_k_rows, rp, fp, pp, rings, ring_pos,
+                      tfs, typ, bias_ids, bias_vals,
+                      mmode, mtau, meta, mu, rng):
             B = toks.shape[0]
             rows = jnp.arange(B, dtype=jnp.int32)
             kvd = kv[0] if isinstance(kv, tuple) else kv
@@ -895,52 +914,69 @@ class FalconEngine:
             pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
 
             def body(carry, j):
-                toks, pending, rings, ring_pos, rng = carry
+                toks, pending, rings, ring_pos, mu, rng = carry
                 logits, kv_new = sp_mod.sp_decode_rows(
                     params, toks[:, None], kv, n_past_vec + j, inv_freq,
                     st, pending, j, compute_dtype=dtype)
                 rng, sub = jax.random.split(rng)
                 keys = jax.random.split(sub, B)
+                u = jax.vmap(lambda kk: jax.random.uniform(kk, ()))(keys)
+                lg = logits[:, 0]
+                if n_bias:
+                    lg = sampling_device.apply_bias_rows(
+                        lg, bias_ids, bias_vals)
                 penalized = sampling_device.apply_penalties_rows(
-                    logits[:, 0], rings, rp, fp, pp)
-                nxt = sampling_device.sample_logits_rows(
-                    penalized, keys, temp, top_p, top_k, top_k_rows)
+                    lg, rings, rp, fp, pp)
+                nxt, mu = sampling_device.sample_rows_u(
+                    penalized, u, temp, top_p, top_k, top_k_rows,
+                    tfs, typ,
+                    miro_mode=mmode if use_miro else None,
+                    miro_tau=mtau, miro_eta=meta, miro_mu=mu,
+                    n_vocab=n_vocab)
                 rings = rings.at[rows, ring_pos % L].set(nxt)
                 pending = jax.lax.dynamic_update_slice(
                     pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
-                return (nxt, pending, rings, ring_pos + 1, rng), nxt
+                return (nxt, pending, rings, ring_pos + 1, mu, rng), (nxt, u)
 
-            carry, toks_out = jax.lax.scan(
-                body, (toks, pending0, rings, ring_pos, rng),
+            carry, (toks_out, us) = jax.lax.scan(
+                body, (toks, pending0, rings, ring_pos, mu, rng),
                 jnp.arange(n_steps, dtype=jnp.int32))
-            _, pending, _, _, rng = carry
+            _, pending, _, _, mu, rng = carry
             idx = jax.lax.axis_index("model")
             kv = kvcache.write_all_layers(kv, pending, n_past_vec,
                                           local=(idx * Tl, Tl))
-            return toks_out, kv, rng
+            return toks_out, us, kv, mu, rng
 
         pspecs = sp_mod.sp_param_specs(self.params)
         kvs = sp_mod.kv_spec()
         return jax.jit(jax.shard_map(
             loop_body, mesh=self.mesh,
-            in_specs=(pspecs, P(), kvs) + (P(),) * 10,
-            out_specs=(P(), kvs, P()),
+            in_specs=(pspecs, P(), kvs) + (P(),) * 18,
+            out_specs=(P(), P(), kvs, P(), P()),
             check_vma=False,
         ), donate_argnums=(2,))
 
     def decode_rows(self, toks, n_past_vec, n_steps: int, temp, top_p,
                     top_k: int = 64, rng_key=None, active_rows: int | None = None,
                     top_k_rows=None, repeat_penalty=None, frequency_penalty=None,
-                    presence_penalty=None, rings=None, ring_fill=None):
+                    presence_penalty=None, rings=None, ring_fill=None,
+                    tfs_z=None, typical_p=None, bias_ids=None, bias_vals=None,
+                    miro_mode=None, miro_tau=None, miro_eta=None, miro_mu=None):
         """n_steps fused batched decode steps. toks: (B,) last sampled per
-        row. Returns ((n_steps, B) successor ids, rng). active_rows scopes
-        the timing counters to genuinely live rows.
+        row. Returns ((n_steps, B) successor ids, rng) — or, when mirostat
+        rows are present (miro_mode given), (ids, rng, new_mu, us) with the
+        per-row mirostat state and the (n_steps, B) uniform draws consumed
+        (us lets tests replay the exact host-cascade sequence).
+        active_rows scopes the timing counters to genuinely live rows.
 
         Per-row sampling knobs (all optional, (B,) arrays): top_k_rows
         tightens the static top_k cap; repeat/frequency/presence penalties
         act over `rings` (B, L) — each row's recent-token window ENDING WITH
         toks[b] (out-of-vocab ids mark empty slots); ring_fill (B,) counts
-        valid entries per row."""
+        valid entries per row; tfs_z/typical_p per-row truncations (1.0 =
+        off); bias_ids/bias_vals (B, NB) sparse per-row logit bias
+        (id >= n_vocab = empty slot); miro_* per-row mirostat v1/v2 state
+        (mode 0 = the standard cascade for that row)."""
         B = self.batch
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
@@ -948,7 +984,14 @@ class FalconEngine:
             rings = np.full((B, 1), self.hp.n_vocab, np.int32)
             ring_fill = np.zeros(B, np.int32)
         rings = np.asarray(rings, np.int32)
-        loop = self._decode_rows_fn(n_steps, top_k, rings.shape[1])
+        use_miro = miro_mode is not None and bool(np.any(np.asarray(miro_mode)))
+        if bias_ids is None:
+            bias_ids = np.full((B, 0), self.hp.n_vocab, np.int32)
+            bias_vals = np.zeros((B, 0), np.float32)
+        bias_ids = np.asarray(bias_ids, np.int32)
+        n_bias = bias_ids.shape[1]
+        loop = self._decode_rows_fn(n_steps, top_k, rings.shape[1],
+                                    n_bias, use_miro)
 
         def arr(x, default, dt=np.float32):
             if x is None:
@@ -956,7 +999,7 @@ class FalconEngine:
             return jnp.asarray(np.asarray(x, dt))
 
         t0 = time.perf_counter()
-        out, kv, rng_key = loop(
+        out, us, kv, mu_out, rng_key = loop(
             self.params, jnp.asarray(np.asarray(toks, np.int32)), self.kv,
             jnp.asarray(np.asarray(n_past_vec, np.int32)),
             arr(temp, 0.0), arr(top_p, 1.0),
@@ -966,12 +1009,24 @@ class FalconEngine:
             jnp.asarray(rings),
             arr(ring_fill if ring_fill is not None else rings.shape[1],
                 rings.shape[1], np.int32),
+            arr(tfs_z, 1.0), arr(typical_p, 1.0),
+            jnp.asarray(bias_ids),
+            jnp.asarray(np.asarray(bias_vals, np.float32)
+                        if bias_vals is not None
+                        else np.zeros((B, n_bias), np.float32)),
+            arr(miro_mode, 0, np.int32), arr(miro_tau, 5.0),
+            arr(miro_eta, 0.1), arr(miro_mu, 10.0),
             rng_key)
         out = self._fetch(out)
         self.kv = kv
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_decode += n_steps * (active_rows if active_rows is not None
                                             else self.batch)
+        # (n_steps, B) uniform draws consumed this chunk — lets callers
+        # (and the batched==sequential tests) replay the exact cascade
+        self.last_us = np.asarray(us)
+        if use_miro:
+            return out, rng_key, np.asarray(mu_out), self.last_us
         return out, rng_key
 
     # ------------------------------------------------------------ generate

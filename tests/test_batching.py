@@ -104,6 +104,76 @@ def test_batched_decode_unrolled_kernel_layout(model):
         assert req.out == expected
 
 
+class _Replay:
+    """np rng stand-in replaying the uniform draws the batched run consumed."""
+
+    def __init__(self, us):
+        self.us = list(us)
+
+    def random(self):
+        return self.us.pop(0)
+
+
+def _sequential_replay(model, req: Request, n_predict: int):
+    """Single-stream host-cascade generation consuming req.us — the exact
+    reference semantics the batched device cascade must reproduce."""
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg)
+    params = sampling.SamplerParams(
+        temp=req.temp, top_k=req.top_k if req.top_k > 0 else 64,
+        top_p=req.top_p, tfs_z=req.tfs_z, typical_p=req.typical_p,
+        repeat_penalty=req.repeat_penalty, repeat_last_n=64,
+        frequency_penalty=req.frequency_penalty,
+        presence_penalty=req.presence_penalty,
+        mirostat=req.mirostat, mirostat_tau=req.mirostat_tau,
+        mirostat_eta=req.mirostat_eta, logit_bias=dict(req.logit_bias))
+    state = sampling.SamplerState(rng=_Replay(req.us),
+                                  mu=2.0 * req.mirostat_tau)
+    history = list(req.prompt_ids)
+    logits = eng.eval(req.prompt_ids)
+    out = []
+    while len(out) < n_predict:
+        tok = sampling.sample(logits, history, params, state, n_ctx=cfg.n_ctx)
+        out.append(tok)
+        history.append(tok)
+        if len(out) >= n_predict:
+            break
+        logits = eng.eval([tok])
+    return out
+
+
+def test_batched_full_samplers_match_sequential(model):
+    """Per-row mirostat v1/v2, logit-bias, tail-free and typical rows in ONE
+    batch must equal the host-cascade sequential reference token-for-token
+    (the device loop's uniform draws are recorded and replayed through the
+    host cascade, so the comparison covers truncation sets, temperature
+    placement, inverse-CDF indexing and the adaptive mirostat state)."""
+    n_predict = 14
+    reqs_spec = [
+        Request(PROMPTS[0], n_predict=n_predict, temp=0.0,
+                logit_bias={7: 8.0, 19: 6.5}),           # greedy + bias
+        Request(PROMPTS[1], n_predict=n_predict, temp=0.9,
+                mirostat=2, mirostat_tau=4.0, mirostat_eta=0.15),
+        Request(PROMPTS[2], n_predict=n_predict, temp=0.8,
+                mirostat=1, mirostat_tau=3.0),
+        Request(PROMPTS[3], n_predict=n_predict, temp=0.85, top_k=40,
+                tfs_z=0.8, typical_p=0.85, top_p=0.95),
+        Request(PROMPTS[4], n_predict=n_predict, temp=0.7, top_k=30,
+                top_p=0.9, repeat_penalty=1.15),
+    ]
+
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg,
+                       batch_size=3)
+    cb = ContinuousBatcher(eng, chunk=5, seed=11)
+    reqs = [cb.submit(r) for r in reqs_spec]
+    cb.run()
+
+    for req in reqs:
+        expected = _sequential_replay(model, req, len(req.out))
+        assert req.out == expected, (req.rid, req.out, expected)
+
+
 def test_batched_llama_matches_sequential(tmp_path_factory):
     """Continuous batching is arch-neutral: LLaMA rows decode together and
     match sequential generation exactly (the reference's server family)."""
