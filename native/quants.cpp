@@ -356,6 +356,435 @@ void qz_q8_1(const float* x, uint8_t* b) {
     std::memcpy(b + 4, &s, 4);
 }
 
+// ----------------------------------------------------------- K-quant quantize
+//
+// Scalar ports of the Python reference codecs (ggllm_tpu/quant/kquants.py,
+// themselves bit-exact vs the upstream layouts): two-level scale searches
+// with weighted-RMSE refinement, then requantization against the
+// fp16-rounded super-block scale. Strict f32 arithmetic (-ffp-contract=off)
+// keeps every rounding decision identical to the numpy reference.
+
+inline int nearest_int(float x) {  // round-half-to-even (np.rint)
+    return (int)std::nearbyintf(x);
+}
+
+inline float fp16_rt(float x) {  // value as stored: f32 -> fp16 -> f32
+    return fp16_to_f32(f32_to_fp16(x));
+}
+
+// weighted-RMSE scale search + greedy per-element refinement (rmse_type 1).
+// x[n] -> L[n] in [0, 2*nmax-1], returns the scale.
+float kq_search_qx(int n, int nmax, const float* x, int* L) {
+    float amax = 0.f, smax = 0.f;
+    for (int i = 0; i < n; i++) {
+        float ax = fabsf(x[i]);
+        if (ax > amax) { amax = ax; smax = x[i]; }
+    }
+    if (amax == 0.f) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -(float)nmax / smax;
+    int Ls[64];
+    float w[64];
+    for (int i = 0; i < n; i++) {
+        w[i] = x[i] * x[i];
+        int l = nearest_int(iscale * x[i]);
+        Ls[i] = std::max(-nmax, std::min(nmax - 1, l));
+    }
+    float sumlx = 0.f, suml2 = 0.f;
+    for (int i = 0; i < n; i++) {
+        sumlx += w[i] * x[i] * (float)Ls[i];
+        suml2 += w[i] * (float)Ls[i] * (float)Ls[i];
+    }
+    float scale = suml2 != 0.f ? sumlx / suml2 : 0.f;
+    float best = scale * sumlx;
+    for (int itry = 0; itry < 3; itry++) {
+        float isc = scale != 0.f ? 1.0f / scale : 0.f;
+        int newL[64];
+        bool changed = false;
+        for (int i = 0; i < n; i++) {
+            int l = nearest_int(isc * x[i]);
+            newL[i] = std::max(-nmax, std::min(nmax - 1, l));
+            if (newL[i] != Ls[i]) changed = true;
+        }
+        float slx = 0.f, sl2 = 0.f;
+        for (int i = 0; i < n; i++) {
+            slx += w[i] * x[i] * (float)newL[i];
+            sl2 += w[i] * (float)newL[i] * (float)newL[i];
+        }
+        if (!changed || sl2 == 0.f || slx * slx <= best * sl2) break;
+        for (int i = 0; i < n; i++) Ls[i] = newL[i];
+        sumlx = slx;
+        suml2 = sl2;
+        scale = slx / sl2;
+        best = scale * slx;
+    }
+    for (int sweep = 0; sweep < 5; sweep++) {
+        int n_changed = 0;
+        for (int i = 0; i < n; i++) {
+            float slx = sumlx - w[i] * x[i] * (float)Ls[i];
+            if (slx > 0.f) {
+                float sl2 = suml2 - w[i] * (float)Ls[i] * (float)Ls[i];
+                int cand = nearest_int(x[i] * sl2 / slx);
+                cand = std::max(-nmax, std::min(nmax - 1, cand));
+                if (cand != Ls[i]) {
+                    float slx2 = slx + w[i] * x[i] * (float)cand;
+                    float sl22 = sl2 + w[i] * (float)cand * (float)cand;
+                    if (sl22 > 0.f && slx2 * slx2 * suml2 > sumlx * sumlx * sl22) {
+                        Ls[i] = cand;
+                        sumlx = slx2;
+                        suml2 = sl22;
+                        n_changed++;
+                    }
+                }
+            }
+        }
+        if (!n_changed) break;
+        scale = suml2 != 0.f ? sumlx / suml2 : 0.f;
+    }
+    for (int i = 0; i < n; i++) L[i] = Ls[i] + nmax;
+    return scale;
+}
+
+// the q3 variant: no 3-try rescale phase, scale taken at the end.
+float kq_search_q3(int n, int nmax, const float* x, int* L) {
+    float amax = 0.f, smax = 0.f;
+    for (int i = 0; i < n; i++) {
+        float ax = fabsf(x[i]);
+        if (ax > amax) { amax = ax; smax = x[i]; }
+    }
+    if (amax == 0.f) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -(float)nmax / smax;
+    int Ls[64];
+    float w[64];
+    for (int i = 0; i < n; i++) {
+        w[i] = x[i] * x[i];
+        int l = nearest_int(iscale * x[i]);
+        Ls[i] = std::max(-nmax, std::min(nmax - 1, l));
+    }
+    float sumlx = 0.f, suml2 = 0.f;
+    for (int i = 0; i < n; i++) {
+        sumlx += w[i] * x[i] * (float)Ls[i];
+        suml2 += w[i] * (float)Ls[i] * (float)Ls[i];
+    }
+    for (int sweep = 0; sweep < 5; sweep++) {
+        int n_changed = 0;
+        for (int i = 0; i < n; i++) {
+            float slx = sumlx - w[i] * x[i] * (float)Ls[i];
+            if (slx > 0.f) {
+                float sl2 = suml2 - w[i] * (float)Ls[i] * (float)Ls[i];
+                int cand = nearest_int(x[i] * sl2 / slx);
+                cand = std::max(-nmax, std::min(nmax - 1, cand));
+                if (cand != Ls[i]) {
+                    float slx2 = slx + w[i] * x[i] * (float)cand;
+                    float sl22 = sl2 + w[i] * (float)cand * (float)cand;
+                    if (sl22 > 0.f && slx2 * slx2 * suml2 > sumlx * sumlx * sl22) {
+                        Ls[i] = cand;
+                        sumlx = slx2;
+                        suml2 = sl22;
+                        n_changed++;
+                    }
+                }
+            }
+        }
+        if (!n_changed) break;
+    }
+    float scale = suml2 != 0.f ? sumlx / suml2 : 0.f;
+    for (int i = 0; i < n; i++) L[i] = Ls[i] + nmax;
+    return scale;
+}
+
+// affine (scale, min) search for the min-bearing formats.
+// x[n] -> L[n] in [0, nmax]; returns scale, writes the (negated) min.
+float kq_search_affine(int n, int nmax, int ntry, const float* x, int* L,
+                       float* the_min) {
+    float mn = x[0], mx = x[0];
+    for (int i = 1; i < n; i++) {
+        mn = std::min(mn, x[i]);
+        mx = std::max(mx, x[i]);
+    }
+    if (mx == mn) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        *the_min = 0.f;
+        return 0.f;
+    }
+    if (mn > 0.f) mn = 0.f;
+    float iscale = (float)nmax / (mx - mn);
+    float scale = 1.0f / iscale;
+    for (int i = 0; i < n; i++) L[i] = 0;
+    for (int itry = 0; itry < ntry; itry++) {
+        float sumlx = 0.f;
+        int suml2 = 0;
+        bool did_change = false;
+        for (int i = 0; i < n; i++) {
+            int l = nearest_int(iscale * (x[i] - mn));
+            l = std::max(0, std::min(nmax, l));
+            if (l != L[i]) { L[i] = l; did_change = true; }
+            sumlx += (x[i] - mn) * (float)l;
+            suml2 += l * l;
+        }
+        scale = sumlx / (float)suml2;
+        float sum = 0.f;
+        for (int i = 0; i < n; i++) sum += x[i] - scale * (float)L[i];
+        mn = sum / (float)n;
+        if (mn > 0.f) mn = 0.f;
+        iscale = scale != 0.f ? 1.0f / scale : 0.f;
+        if (!did_change) break;
+    }
+    *the_min = -mn;
+    return scale;
+}
+
+void qz_q2_K(const float* x, uint8_t* b) {
+    float scales[16], mins[16];
+    int Lg[16];
+    for (int g = 0; g < 16; g++)
+        scales[g] = kq_search_affine(16, 3, 5, x + 16 * g, Lg, &mins[g]);
+    float max_scale = 0.f, max_min = 0.f;
+    for (int g = 0; g < 16; g++) {
+        max_scale = std::max(max_scale, scales[g]);
+        max_min = std::max(max_min, mins[g]);
+    }
+    uint8_t sc[16] = {0};
+    uint16_t dh = 0, dmh = 0;
+    if (max_scale > 0.f) {
+        float isc = 15.0f / max_scale;
+        for (int g = 0; g < 16; g++) sc[g] = (uint8_t)nearest_int(isc * scales[g]);
+        dh = f32_to_fp16(max_scale / 15.0f);
+    }
+    if (max_min > 0.f) {
+        float imn = 15.0f / max_min;
+        for (int g = 0; g < 16; g++)
+            sc[g] |= (uint8_t)((uint8_t)nearest_int(imn * mins[g]) << 4);
+        dmh = f32_to_fp16(max_min / 15.0f);
+    }
+    float df = fp16_to_f32(dh), dmf = fp16_to_f32(dmh);
+    uint8_t L[256];
+    for (int g = 0; g < 16; g++) {
+        float dl = df * (float)(sc[g] & 0xF);
+        float ml = dmf * (float)(sc[g] >> 4);
+        for (int i = 0; i < 16; i++) {
+            int l = 0;
+            if (dl != 0.f) {
+                l = nearest_int((x[16 * g + i] + ml) / dl);
+                l = std::max(0, std::min(3, l));
+            }
+            L[16 * g + i] = (uint8_t)l;
+        }
+    }
+    std::memcpy(b, sc, 16);
+    for (int half = 0; half < 2; half++)
+        for (int l = 0; l < 32; l++) {
+            const uint8_t* s = L + 128 * half;
+            b[16 + 32 * half + l] =
+                (uint8_t)(s[l] | (s[l + 32] << 2) | (s[l + 64] << 4) | (s[l + 96] << 6));
+        }
+    std::memcpy(b + 80, &dh, 2);
+    std::memcpy(b + 82, &dmh, 2);
+}
+
+void qz_q3_K(const float* x, uint8_t* b) {
+    float scales[16];
+    int Lg[16];
+    for (int g = 0; g < 16; g++)
+        scales[g] = kq_search_q3(16, 4, x + 16 * g, Lg);
+    float amax = 0.f, max_scale = 0.f;
+    for (int g = 0; g < 16; g++) {
+        float a = fabsf(scales[g]);
+        if (a > amax) { amax = a; max_scale = scales[g]; }
+    }
+    uint8_t scb[12] = {0};
+    uint16_t dh = 0;
+    if (amax != 0.f) {
+        float isc = -32.0f / max_scale;
+        for (int g = 0; g < 16; g++) {
+            int l = std::max(-32, std::min(31, nearest_int(isc * scales[g]))) + 32;
+            if (g < 8) scb[g] = (uint8_t)(l & 0xF);
+            else scb[g - 8] |= (uint8_t)((l & 0xF) << 4);
+            scb[8 + g % 4] |= (uint8_t)((l >> 4) << (2 * (g / 4)));
+        }
+        dh = f32_to_fp16(1.0f / isc);
+    }
+    int32_t sdec[16];
+    q3k_scales(scb, sdec);
+    float df = fp16_to_f32(dh);
+    uint8_t L[256];
+    uint8_t hmask[32] = {0};
+    for (int g = 0; g < 16; g++) {
+        float dl = df * (float)sdec[g];
+        for (int i = 0; i < 16; i++) {
+            int j = 16 * g + i;
+            int l = 0;
+            if (dl != 0.f) {  // dl == 0 stores level 0 WITHOUT the +4 bias
+                l = nearest_int(x[j] / dl);
+                l = std::max(-4, std::min(3, l)) + 4;
+            }
+            if (l > 3) { hmask[j % 32] |= (uint8_t)(1 << (j / 32)); l -= 4; }
+            L[j] = (uint8_t)l;
+        }
+    }
+    std::memcpy(b, hmask, 32);
+    for (int half = 0; half < 2; half++)
+        for (int l = 0; l < 32; l++) {
+            const uint8_t* s = L + 128 * half;
+            b[32 + 32 * half + l] =
+                (uint8_t)(s[l] | (s[l + 32] << 2) | (s[l + 64] << 4) | (s[l + 96] << 6));
+        }
+    std::memcpy(b + 96, scb, 12);
+    std::memcpy(b + 108, &dh, 2);
+}
+
+// shared Q4_K/Q5_K path: 8 groups of 32, 6-bit packed scale/min pairs.
+void qz_q45_K(const float* x, int nmax, uint16_t* dh, uint16_t* dmh,
+              uint8_t* scb, uint8_t* L) {
+    float scales[8], mins[8];
+    int Lg[32];
+    for (int g = 0; g < 8; g++)
+        scales[g] = kq_search_affine(32, nmax, 5, x + 32 * g, Lg, &mins[g]);
+    float max_scale = 0.f, max_min = 0.f;
+    for (int g = 0; g < 8; g++) {
+        max_scale = std::max(max_scale, scales[g]);
+        max_min = std::max(max_min, mins[g]);
+    }
+    float inv_scale = max_scale > 0.f ? 63.0f / max_scale : 0.f;
+    float inv_min = max_min > 0.f ? 63.0f / max_min : 0.f;
+    for (int j = 0; j < 12; j++) scb[j] = 0;
+    for (int g = 0; g < 8; g++) {
+        uint8_t ls = (uint8_t)std::min(63, nearest_int(inv_scale * scales[g]));
+        uint8_t lm = (uint8_t)std::min(63, nearest_int(inv_min * mins[g]));
+        if (g < 4) {
+            scb[g] = ls;
+            scb[g + 4] = lm;
+        } else {
+            scb[g + 4] = (uint8_t)((ls & 0xF) | ((lm & 0xF) << 4));
+            scb[g - 4] |= (uint8_t)((ls >> 4) << 6);
+            scb[g] |= (uint8_t)((lm >> 4) << 6);
+        }
+    }
+    *dh = f32_to_fp16(max_scale / 63.0f);
+    *dmh = f32_to_fp16(max_min / 63.0f);
+    uint8_t sd[8], sm[8];
+    k4_scales(scb, sd, sm);
+    float df = fp16_to_f32(*dh), dmf = fp16_to_f32(*dmh);
+    for (int g = 0; g < 8; g++) {
+        float dl = df * (float)sd[g];
+        float ml = dmf * (float)sm[g];
+        for (int i = 0; i < 32; i++) {
+            int l = 0;
+            if (dl != 0.f) {
+                l = nearest_int((x[32 * g + i] + ml) / dl);
+                l = std::max(0, std::min(nmax, l));
+            }
+            L[32 * g + i] = (uint8_t)l;
+        }
+    }
+}
+
+void qz_q4_K(const float* x, uint8_t* b) {
+    uint16_t dh, dmh;
+    uint8_t L[256];
+    qz_q45_K(x, 15, &dh, &dmh, b + 4, L);
+    std::memcpy(b, &dh, 2);
+    std::memcpy(b + 2, &dmh, 2);
+    for (int j = 0; j < 4; j++)
+        for (int l = 0; l < 32; l++)
+            b[16 + 32 * j + l] =
+                (uint8_t)(L[64 * j + l] | (L[64 * j + 32 + l] << 4));
+}
+
+void qz_q5_K(const float* x, uint8_t* b) {
+    uint16_t dh, dmh;
+    uint8_t L[256];
+    qz_q45_K(x, 31, &dh, &dmh, b + 4, L);
+    std::memcpy(b, &dh, 2);
+    std::memcpy(b + 2, &dmh, 2);
+    uint8_t* qh = b + 16;
+    uint8_t* ql = b + 48;
+    for (int j = 0; j < 32; j++) qh[j] = 0;
+    for (int j = 0; j < 4; j++)
+        for (int l = 0; l < 32; l++) {
+            uint8_t l1 = L[64 * j + l], l2 = L[64 * j + 32 + l];
+            qh[l] |= (uint8_t)(((l1 > 15) << (2 * j)) | ((l2 > 15) << (2 * j + 1)));
+            ql[32 * j + l] = (uint8_t)((l1 & 0xF) | ((l2 & 0xF) << 4));
+        }
+}
+
+void qz_q6_K(const float* x, uint8_t* b) {
+    float scales[16];
+    int Lg[16];
+    for (int g = 0; g < 16; g++)
+        scales[g] = kq_search_qx(16, 32, x + 16 * g, Lg);
+    float amax = 0.f, max_scale = 0.f;
+    for (int g = 0; g < 16; g++) {
+        float a = fabsf(scales[g]);
+        if (a > amax) { amax = a; max_scale = scales[g]; }
+    }
+    int8_t sc8[16] = {0};
+    uint16_t dh = 0;
+    if (amax != 0.f) {
+        float iscale = -128.0f / max_scale;
+        for (int g = 0; g < 16; g++)
+            sc8[g] = (int8_t)std::min(127, nearest_int(iscale * scales[g]));
+        dh = f32_to_fp16(1.0f / iscale);
+    }
+    float df = fp16_to_f32(dh);
+    uint8_t L[256];
+    for (int g = 0; g < 16; g++) {
+        float dl = df * (float)sc8[g];
+        for (int i = 0; i < 16; i++) {
+            int l = 0;
+            if (dl != 0.f) {
+                l = nearest_int(x[16 * g + i] / dl);
+                l = std::max(-32, std::min(31, l)) + 32;
+            }
+            L[16 * g + i] = (uint8_t)l;
+        }
+    }
+    uint8_t* ql = b;
+    uint8_t* qh = b + 128;
+    for (int half = 0; half < 2; half++) {
+        const uint8_t* s = L + 128 * half;
+        for (int l = 0; l < 32; l++) {
+            uint8_t q1 = s[l], q2 = s[l + 32], q3 = s[l + 64], q4 = s[l + 96];
+            ql[64 * half + l] = (uint8_t)((q1 & 0xF) | ((q3 & 0xF) << 4));
+            ql[64 * half + 32 + l] = (uint8_t)((q2 & 0xF) | ((q4 & 0xF) << 4));
+            qh[32 * half + l] =
+                (uint8_t)((q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6));
+        }
+    }
+    std::memcpy(b + 192, sc8, 16);
+    std::memcpy(b + 208, &dh, 2);
+}
+
+void qz_q8_K(const float* x, uint8_t* b) {
+    float amax = 0.f, smax = 0.f;
+    for (int i = 0; i < 256; i++) {
+        float ax = fabsf(x[i]);
+        if (ax > amax) { amax = ax; smax = x[i]; }
+    }
+    int8_t qs[256] = {0};
+    float d = 0.f;
+    if (amax != 0.f) {
+        float iscale = -128.0f / smax;
+        for (int i = 0; i < 256; i++)
+            qs[i] = (int8_t)std::min(127, nearest_int(iscale * x[i]));
+        d = 1.0f / iscale;
+    }
+    int16_t bsums[16];
+    for (int g = 0; g < 16; g++) {
+        int s = 0;
+        for (int i = 0; i < 16; i++) s += qs[16 * g + i];
+        bsums[g] = (int16_t)s;
+    }
+    std::memcpy(b, &d, 4);
+    std::memcpy(b + 4, qs, 256);
+    std::memcpy(b + 260, bsums, 32);
+}
+
 // ------------------------------------------------------------------ tables
 
 struct Fmt {
@@ -374,12 +803,12 @@ Fmt fmt_of(int gtype) {
         case 7:  return {32, 24, deq_q5_1, qz_q5_1};   // Q5_1
         case 8:  return {32, 34, deq_q8_0, qz_q8_0};   // Q8_0
         case 9:  return {32, 40, deq_q8_1, qz_q8_1};   // Q8_1
-        case 10: return {256, 84, deq_q2_K, nullptr};  // Q2_K
-        case 11: return {256, 110, deq_q3_K, nullptr}; // Q3_K
-        case 12: return {256, 144, deq_q4_K, nullptr}; // Q4_K
-        case 13: return {256, 176, deq_q5_K, nullptr}; // Q5_K
-        case 14: return {256, 210, deq_q6_K, nullptr}; // Q6_K
-        case 15: return {256, 292, deq_q8_K, nullptr}; // Q8_K
+        case 10: return {256, 84, deq_q2_K, qz_q2_K};  // Q2_K
+        case 11: return {256, 110, deq_q3_K, qz_q3_K}; // Q3_K
+        case 12: return {256, 144, deq_q4_K, qz_q4_K}; // Q4_K
+        case 13: return {256, 176, deq_q5_K, qz_q5_K}; // Q5_K
+        case 14: return {256, 210, deq_q6_K, qz_q6_K}; // Q6_K
+        case 15: return {256, 292, deq_q8_K, qz_q8_K}; // Q8_K
         default: return {0, 0, nullptr, nullptr};
     }
 }

@@ -19,7 +19,8 @@ DEQ_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
              GGMLType.Q8_0, GGMLType.Q8_1, GGMLType.Q2_K, GGMLType.Q3_K,
              GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K]
 QZ_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-            GGMLType.Q8_0, GGMLType.Q8_1]
+            GGMLType.Q8_0, GGMLType.Q8_1, GGMLType.Q2_K, GGMLType.Q3_K,
+            GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K]
 
 
 def _data(n, seed=0):
@@ -53,15 +54,17 @@ def test_native_quantize_bitexact(gtype):
 def test_native_quantize_constant_blocks():
     # all-zero and all-constant blocks hit the d == 0 degenerate path
     for gtype in QZ_TYPES:
-        x = np.zeros(64, np.float32)
+        n = 2 * TYPE_TRAITS[gtype].block_size
+        x = np.zeros(n, np.float32)
         np.testing.assert_array_equal(
             native.quantize(int(gtype), x),
             registry.quantize(gtype, x, native=False))
-        x = np.full(64, 3.25, np.float32)
+        x = np.full(n, 3.25, np.float32)
         np.testing.assert_array_equal(
             native.quantize(int(gtype), x),
             registry.quantize(gtype, x, native=False))
 
 
-def test_native_kquant_unsupported_quantize_returns_none():
-    assert native.quantize(int(GGMLType.Q4_K), np.zeros(256, np.float32)) is None
+def test_native_unsupported_type_returns_none():
+    # F16 (type 1) has no block codec entry
+    assert native.quantize(1, np.zeros(256, np.float32)) is None
