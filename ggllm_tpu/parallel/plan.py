@@ -86,3 +86,33 @@ def suggest_tensor_split(mf, cfg: EngineConfig | None = None, batch: int = 1,
     while mp_seq < max_chips and wb + kvb // mp_seq > limit:
         mp_seq *= 2
     return FitPlan(mp_seq, "sequence", int(wb + kvb // mp_seq), hbm_bytes)
+
+
+@dataclass
+class MeshPlan:
+    """Full mesh suggestion for a given chip budget: the smallest fitting
+    TP axis (bounded by head divisibility), remaining chips as data-parallel
+    serving replicas — e.g. 180B Q4_K on 32 chips = (4 data x 8 model)."""
+
+    data: int
+    model: int
+    kv_shard: str
+    per_chip_bytes: int
+    hbm_bytes: int
+
+    @property
+    def fits(self) -> bool:
+        return self.per_chip_bytes <= self.hbm_bytes * (1 - HEADROOM_FRACTION)
+
+
+def suggest_mesh(mf, n_chips: int, cfg: EngineConfig | None = None,
+                 batch: int = 1,
+                 hbm_bytes: int = DEFAULT_HBM_BYTES) -> MeshPlan:
+    """Mesh shape for n_chips: TP model axis from suggest_tensor_split
+    (never larger than the heads allow), leftover chips replicate the model
+    as data-parallel rows (each with its own KV cache and batch slots)."""
+    plan = suggest_tensor_split(mf, cfg, batch, hbm_bytes, max_chips=n_chips)
+    model = min(plan.model_axis, n_chips)
+    data = max(1, n_chips // model)
+    return MeshPlan(data, model, plan.kv_shard, plan.per_chip_bytes,
+                    hbm_bytes)

@@ -41,6 +41,22 @@ def test_180b_needs_eight_chips():
     assert plan.model_axis == 8 and plan.kv_shard == "heads" and plan.fits
 
 
+def test_180b_mesh_at_8_16_32_chips():
+    """180B Q4_K per-chip math: ~101 GB of weights wants an 8-way TP split
+    (12.6 GB/chip + sharded KV); the head count (232 = 8*29) forbids a
+    16-way split, so extra chips become data-parallel replicas."""
+    from ggllm_tpu.parallel.plan import suggest_mesh
+
+    mf = _mf(FalconHParams.falcon180b(), 4.5)
+    for chips, want_data in ((8, 1), (16, 2), (32, 4)):
+        plan = suggest_mesh(mf, chips)
+        assert plan.model == 8 and plan.data == want_data, (chips, plan)
+        assert plan.fits
+        # per-chip bytes: an 8th of the weights plus an 8th of the KV cache
+        # (8 KV heads divide), comfortably under 15.75 GB with 10% headroom
+        assert plan.per_chip_bytes < 14.2 * 2**30
+
+
 def test_huge_context_mqa_falls_back_to_sequence():
     """7B MQA: TP cannot shard the (replicated) KV, so a KV-dominated
     footprint switches to time sharding."""
