@@ -29,9 +29,16 @@ from ggllm_tpu.kernels import layout as klayout
 from ggllm_tpu.kernels.quant_matmul import fused_matmul_2d
 from ggllm_tpu.utils.benchgen import random_quant_tensor
 
+from ggllm_tpu.kernels import quant_matmul as qm
+
 gtype = type_from_name(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
     else GGMLType.Q4_0
 N = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 200
+# kernel-variant knobs (see quant_matmul module flags)
+qm.UNPACK_F32 = "--uf32" in sys.argv
+qm.SPLIT_DOTS = "--split" in sys.argv
+print(f"variant: UNPACK_F32={qm.UNPACK_F32} SPLIT_DOTS={qm.SPLIT_DOTS}",
+      flush=True)
 
 # 7B merged-QKV+FFN-up geometry: the decode hot tile
 O, K = 22848, 4544

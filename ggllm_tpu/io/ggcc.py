@@ -18,6 +18,7 @@ keeps ggml order in `ne` and exposes numpy convention via `shape`.
 from __future__ import annotations
 
 import struct
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -76,6 +77,9 @@ class TensorRecord:
         return n
 
 
+_MM_LOCK = threading.Lock()
+
+
 @dataclass
 class ModelFile:
     path: str
@@ -92,12 +96,14 @@ class ModelFile:
     _mm: dict = None
 
     def _data(self, idx: int = 0) -> np.memmap:
-        if self._mm is None:
-            self._mm = {}
-        if idx not in self._mm:
-            p = self.paths[idx] if self.paths else self.path
-            self._mm[idx] = np.memmap(p, dtype=np.uint8, mode="r")
-        return self._mm[idx]
+        # guarded: the loader repacks layers from worker threads
+        with _MM_LOCK:
+            if self._mm is None:
+                self._mm = {}
+            if idx not in self._mm:
+                p = self.paths[idx] if self.paths else self.path
+                self._mm[idx] = np.memmap(p, dtype=np.uint8, mode="r")
+            return self._mm[idx]
 
     def tensor_blob(self, name: str) -> np.ndarray:
         """Raw packed bytes of a tensor. Zero-copy for single-file tensors;

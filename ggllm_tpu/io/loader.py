@@ -192,6 +192,38 @@ def _progress(cb, i: int, n: int, what: str):
         cb(i / max(n, 1), what)
 
 
+def _parallel_layers(build, n_layer: int, progress=None) -> list:
+    """Run the per-layer load+repack across worker threads.
+
+    The repack (kernels/layout.to_kernel — bit-plane extraction and
+    re-chunking) is big-array numpy that releases the GIL, so threads give
+    a near-linear host-side speedup; the reference's analogue is its
+    multithreaded dequant/quantize pools (libfalcon.cpp:3475-3531).
+    Disable with GGLLM_LOAD_THREADS=1. Progress reports completion order.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("GGLLM_LOAD_THREADS", 0) or 0)
+    if workers <= 0:
+        workers = min(8, os.cpu_count() or 1, n_layer)
+    if workers <= 1:
+        out = []
+        for i in range(n_layer):
+            _progress(progress, i, n_layer, f"layer {i}/{n_layer}")
+            out.append(build(i))
+        return out
+    done = 0
+    with ThreadPoolExecutor(workers) as ex:
+        futs = [ex.submit(build, i) for i in range(n_layer)]
+        out = []
+        for i, f in enumerate(futs):
+            out.append(f.result())
+            done += 1
+            _progress(progress, done, n_layer, f"layer {done}/{n_layer}")
+    return out
+
+
 def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
                        lora, dtype, progress=None) -> dict:
     hp = mf.hparams
@@ -219,9 +251,7 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
         if len(types) > 1:
             dense_keys.add(k)
 
-    layers = []
-    for i in range(hp.n_layer):
-        _progress(progress, i, hp.n_layer, f"layer {i}/{hp.n_layer}")
+    def build_layer(i: int) -> dict:
         names = _llama_names(i)
         lw: dict = {
             "attn_norm": mf.tensor_f32(names["attn_norm"]).astype(np.float32),
@@ -248,7 +278,9 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
             lw["w2"] = _to_kernel(mats["w2"])
         else:
             lw.update(mats)
-        layers.append(lw)
+        return lw
+
+    layers = _parallel_layers(build_layer, hp.n_layer, progress)
     if kernel:
         params["layers"] = [jax.tree.map(jnp.asarray, lw) for lw in layers]
     else:
@@ -460,9 +492,7 @@ def load_params(
         "lm_head": conv(_load_matrix(mf, "lm_head.weight", mode, dtype, lora)),
     }
 
-    layers = []
-    for i in range(hp.n_layer):
-        _progress(progress, i, hp.n_layer, f"layer {i}/{hp.n_layer}")
+    def build_layer(i: int) -> dict:
         names = _layer_names(hp, i)
         lw: dict = {}
         for key in ("input_ln_w", "input_ln_b"):
@@ -480,7 +510,9 @@ def load_params(
             lw["wq"], lw["wk"], lw["wv"] = _split_qkv(qkv, hp)
             for key in ("wo", "ffn_up", "ffn_down"):
                 lw[key] = _load_matrix(mf, names[key], layer_mode(key), dtype, lora)
-        layers.append(lw)
+        return lw
+
+    layers = _parallel_layers(build_layer, hp.n_layer, progress)
 
     if kernel:
         # keep layers unstacked: the unrolled decode loop feeds each layer's
