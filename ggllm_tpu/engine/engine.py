@@ -469,37 +469,78 @@ class FalconEngine:
             if sp:
                 from ggllm_tpu.parallel import sp as sp_mod
 
-            def step_forward(params, toks_b, kv, n_past):
-                if sp:
-                    return sp_mod.sp_decode(params, toks_b, kv, n_past,
-                                            inv_freq, st, compute_dtype=dtype)
-                return forward(
-                    params, toks_b, kv, n_past, inv_freq,
-                    st, logits_all=False, compute_dtype=dtype, last_pos=0,
-                    unroll=True, psum_axis=psum_axis,
-                )
+            kv_dtype = self.cfg.kv_dtype
 
             def loop_body(params, tok, kv, n_past, rng, ring, pos):
                 if tp:
                     params = self._tp_local_params(params)
 
-                def body(carry, _):
-                    tok, kv, n_past, rng, ring, pos = carry
+                if sp:
+                    # sequence-parallel: per-step merged-partial attention
+                    # over the time shards (parallel/sp.py) — unchanged
+                    def body(carry, _):
+                        tok, kv, n_past, rng, ring, pos = carry
+                        toks_b = jnp.full((B, 1), tok, jnp.int32)
+                        logits, kv = sp_mod.sp_decode(
+                            params, toks_b, kv, n_past, inv_freq, st,
+                            compute_dtype=dtype)
+                        rng, sub = jax.random.split(rng)
+                        penalized = sampling_device.apply_penalties(
+                            logits[0, 0], ring, pen_spec)
+                        nxt = sampling_device.sample_logits(
+                            penalized, sub, temp, top_k, top_p)
+                        ring = ring.at[pos % L].set(nxt)
+                        return (nxt, kv, n_past + 1, rng, ring, pos + 1), nxt
+
+                    carry, toks = jax.lax.scan(
+                        body, (tok, kv, n_past, rng, ring, pos),
+                        length=n_steps)
+                    _, kv, _, rng, ring, pos = carry
+                    return toks, kv, rng, ring, pos
+
+                # chunk-deferred KV (same scheme as the batched rows loop):
+                # the cache is READ-ONLY for the whole chunk — steps
+                # accumulate K/V in `pending`, attention reads cache +
+                # pending, one scatter at chunk end. This also lets the
+                # flash-decode kernel's merged cache view be computed ONCE
+                # per chunk (the 6D->5D relayout materializes the full
+                # cache: 4 ms/occurrence at LLaMA geometry).
+                from ggllm_tpu.models.falcon import merged_cache_view
+
+                kvd = kv[0] if isinstance(kv, tuple) else kv
+                L_, _, _, _, KV_, D_ = kvd.shape
+                pdtype = dtype if kv_dtype == "int8" else kvd.dtype
+                pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
+                kvm = merged_cache_view(kvd, st)
+
+                def body(carry, j):
+                    tok, pending, rng, ring, pos = carry
                     # single-stream generation: broadcast the token to every
                     # cache row (only row 0's logits are sampled)
                     toks_b = jnp.full((B, 1), tok, jnp.int32)
-                    logits, kv = step_forward(params, toks_b, kv, n_past)
+                    logits, kv_new = forward(
+                        params, toks_b, kv, n_past + j, inv_freq,
+                        st, logits_all=False, compute_dtype=dtype, last_pos=0,
+                        unroll=True, psum_axis=psum_axis,
+                        pending=pending, n_pend=j, kv_merged=kvm,
+                    )
                     rng, sub = jax.random.split(rng)
                     penalized = sampling_device.apply_penalties(
                         logits[0, 0], ring, pen_spec)
                     nxt = sampling_device.sample_logits(
                         penalized, sub, temp, top_k, top_p)
                     ring = ring.at[pos % L].set(nxt)
-                    return (nxt, kv, n_past + 1, rng, ring, pos + 1), nxt
+                    pending = jax.lax.dynamic_update_slice(
+                        pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                    return (nxt, pending, rng, ring, pos + 1), nxt
 
                 carry, toks = jax.lax.scan(
-                    body, (tok, kv, n_past, rng, ring, pos), length=n_steps)
-                _, kv, _, rng, ring, pos = carry
+                    body, (tok, pending0, rng, ring, pos),
+                    jnp.arange(n_steps, dtype=jnp.int32))
+                _, pending, rng, ring, pos = carry
+                kv = kvcache.write_all_layers(
+                    kv, pending, jnp.broadcast_to(
+                        jnp.asarray(n_past, jnp.int32).reshape(-1), (B,)))
                 return toks, kv, rng, ring, pos
 
             if tp:
@@ -834,10 +875,13 @@ class FalconEngine:
                 # bit-identical to post-scatter reads (int8 caches quantize
                 # at the chunk-end scatter; in-chunk reads see dense values,
                 # as the per-step defer path's current token already did).
+                from ggllm_tpu.models.falcon import merged_cache_view
+
                 kvd = kv[0] if isinstance(kv, tuple) else kv
                 L_, _, _, _, KV_, D_ = kvd.shape
                 pdtype = dtype if kv_dtype == "int8" else kvd.dtype
                 pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
+                kvm = merged_cache_view(kvd, st)  # hoisted: once per chunk
 
                 def body(carry, j):
                     toks, pending, rings, ring_pos, mu, rng = carry
@@ -846,7 +890,7 @@ class FalconEngine:
                         st, logits_all=False, compute_dtype=dtype,
                         last_pos=jnp.zeros(B, jnp.int32),
                         unroll=True, psum_axis=psum_axis,
-                        pending=pending, n_pend=j,
+                        pending=pending, n_pend=j, kv_merged=kvm,
                     )
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, B)

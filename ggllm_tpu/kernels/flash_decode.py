@@ -151,17 +151,18 @@ def _kern_mha(scale, BT, l_ref, valid_ref, qbd_ref, e_ref, k_ref, v_ref,
         l_o[0] = l_s[:]
 
 
-def _cache_partials_mha(kv5, layer, qg: jnp.ndarray, cache_valid: jnp.ndarray,
+def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
+                        cache_valid: jnp.ndarray,
                         block_t: int = 256, interpret: bool = False):
     """G == 1 (MHA) variant: one grid step covers ALL heads of a time tile —
     scores via a single block-diagonal MXU dot instead of KV separate
     per-head programs (which cost 32x the grid overhead at LLaMA geometry)."""
-    L, _, B, T, KV, D = kv5.shape
+    L, _, B, T, KVD = kv4.shape
+    D = KVD // KV
     BT = min(block_t, T)
     NT = pl.cdiv(T, BT)
     scale = 1.0 / (D ** 0.5)
-    kv4 = kv5.reshape(L, 2, B, T, KV * D)
-    dt = kv5.dtype
+    dt = kv4.dtype
 
     q1 = qg.reshape(B, KV, D)
     eye = jnp.eye(KV, dtype=jnp.float32)
@@ -222,27 +223,30 @@ def _cache_partials_mha(kv5, layer, qg: jnp.ndarray, cache_valid: jnp.ndarray,
             l.reshape(B, KV, 1, 1))
 
 
-def cache_partials(kv5, layer, qg: jnp.ndarray, cache_valid: jnp.ndarray,
+def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
+                   cache_valid: jnp.ndarray,
                    block_t: int = 512, interpret: bool = False):
     """Online-softmax partials of qg against layer `layer`'s valid cache
     prefix.
 
-    kv5: stacked cache (L, 2, B, T, KV, D), any float dtype.
+    kv4: stacked cache in MERGED head-lane form (L, 2, B, T, KV*D), any
+    float dtype — reshape the 6D cache ONCE per chunk (the relayout
+    materializes; see models.falcon.merged_cache_view).
     qg: (B, KV, G, D) queries grouped by kv head (head h = kv*G + g).
     cache_valid: (B,) int32 — rows strictly below are attended.
     Returns (acc (B,KV,G,D), m (B,KV,G,1), l (B,KV,G,1)), all f32.
     """
-    L, _, B, T, KV, D = kv5.shape
+    L, _, B, T, KVD = kv4.shape
+    D = KVD // KV
     G = qg.shape[2]
     if G == 1 and KV > 1 and (KV * D) % 128 == 0:
-        return _cache_partials_mha(kv5, layer, qg, cache_valid,
+        return _cache_partials_mha(kv4, KV, layer, qg, cache_valid,
                                    interpret=interpret)
     HB = _heads_per_block(KV, D)
     NKV = KV // HB
     BT = min(block_t, T)
     NT = pl.cdiv(T, BT)
     scale = 1.0 / (D ** 0.5)
-    kv4 = kv5.reshape(L, 2, B, T, KV * D)  # contiguous view
     q4 = qg.reshape(B, NKV, HB * G, D)
 
     def tile_idx(t, vref, b):
@@ -302,14 +306,14 @@ def cache_partials(kv5, layer, qg: jnp.ndarray, cache_valid: jnp.ndarray,
             l.reshape(B, KV, G, 1))
 
 
-def flash_decode(kv5, layer: int, q: jnp.ndarray, n_past,
+def flash_decode(kv4, KV: int, layer: int, q: jnp.ndarray, n_past,
                  kv_append: jnp.ndarray | None = None,
                  append_valid=None, block_t: int = 512,
                  interpret: bool = False) -> jnp.ndarray:
     """Drop-in for models/falcon._attention at S == 1 (decode).
 
-    kv5: stacked cache (L, 2, B, T, KV, D); layer: which layer to attend.
-    q: (B, 1, H, D). n_past: scalar or (B,).
+    kv4: stacked cache in merged form (L, 2, B, T, KV*D); layer: which
+    layer to attend. q: (B, 1, H, D). n_past: scalar or (B,).
     kv_append: (2, B, A, KV, D) unwritten block ([current token; pending]);
     append_valid: scalar count of valid append entries (None -> all A).
     Cache is valid strictly below n_past - (append_valid - 1) when appending
@@ -318,7 +322,6 @@ def flash_decode(kv5, layer: int, q: jnp.ndarray, n_past,
     """
     B, S, H, D = q.shape
     assert S == 1, "flash_decode is the S=1 path"
-    KV = kv5.shape[4]
     G = H // KV
     np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
 
@@ -330,7 +333,7 @@ def flash_decode(kv5, layer: int, q: jnp.ndarray, n_past,
         cache_valid = np_vec
 
     qg = q.reshape(B, KV, G, D)
-    acc, m, l = cache_partials(kv5, layer, qg, cache_valid,
+    acc, m, l = cache_partials(kv4, KV, layer, qg, cache_valid,
                                block_t=block_t, interpret=interpret)
 
     if kv_append is not None:

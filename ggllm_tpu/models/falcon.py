@@ -166,22 +166,41 @@ def _attention(
 
 
 def _attention_decode(kv, l: int, q, n_past, st, kv_append=None,
-                      append_valid=None):
+                      append_valid=None, kv_merged=None):
     """S=1 attention for the unrolled decode loops: the Pallas flash-decode
     kernel reads only the valid cache prefix from the STACKED cache (no
     per-layer slice, no full-buffer f32 conversion — kernels/flash_decode);
-    einsum fallback for int8 caches and non-flash engines."""
-    from ggllm_tpu.kernels.flash_decode import flash_decode, supported
+    einsum fallback for int8 caches and non-flash engines.
 
-    if (isinstance(kv, tuple) or not getattr(st, "flash", False)
-            or not supported(st.n_head_kv, st.head_dim)):
+    kv_merged: the cache as (L, 2, B, T, KV*D), reshaped ONCE per chunk by
+    the caller (merged_cache_view) — XLA materializes the 6D->5D relayout
+    (the whole cache; 4 ms per occurrence at LLaMA geometry), so the flash
+    path requires the hoisted view instead of reshaping per layer-step."""
+    if kv_merged is None:
         k, v = kvcache.read_layer(kv, l, q.dtype)
         return _attention(q, k, v, n_past, st, kv_append=kv_append,
                           append_valid=append_valid)
     from ggllm_tpu.kernels.dispatch import _on_tpu
+    from ggllm_tpu.kernels.flash_decode import flash_decode
 
-    return flash_decode(kv, l, q, n_past, kv_append=kv_append,
-                        append_valid=append_valid, interpret=not _on_tpu())
+    return flash_decode(kv_merged, st.n_head_kv, l, q, n_past,
+                        kv_append=kv_append, append_valid=append_valid,
+                        interpret=not _on_tpu())
+
+
+def merged_cache_view(kv, st) -> jnp.ndarray | None:
+    """(L, 2, B, T, KV*D) view of a dense cache for flash-decode, or None
+    when the kernel cannot run (int8 tuple, non-flash engine, unsupported
+    lane layout). Callers hoist this OUTSIDE the decode scan so the
+    relayout is paid once per chunk, not once per layer-step."""
+    from ggllm_tpu.kernels.flash_decode import supported
+
+    if isinstance(kv, tuple) or not getattr(st, "flash", False):
+        return None
+    if not supported(st.n_head_kv, st.head_dim):
+        return None
+    L, _, B, T, KV, D = kv.shape
+    return kv.reshape(L, 2, B, T, KV * D)
 
 
 def _project_merged(x_ln: jnp.ndarray, lw: dict, st: FalconStatic):
@@ -277,8 +296,13 @@ def falcon_forward(
     psum_axis: str | None = None,
     pending: jnp.ndarray | None = None,
     n_pend: jnp.ndarray | None = None,
+    kv_merged: jnp.ndarray | None = None,
 ):
     """Run the full model. Returns (logits f32, new kv).
+
+    kv_merged: hoisted (L, 2, B, T, KV*D) view of the cache for the
+    flash-decode kernel (see merged_cache_view); when None the decode
+    attention falls back to the einsum path.
 
     pending/n_pend (chunk-deferred decode, S == 1): `pending` is the decode
     chunk's K/V buffer (L, 2, B, P, KV, D) of which the first `n_pend`
@@ -328,16 +352,14 @@ def falcon_forward(
                 app = jnp.concatenate(
                     [kv_new, pending[l].astype(kv_new.dtype)], axis=2)
                 attn = _attention_decode(kv, l, q, n_past, st, kv_append=app,
-                                         append_valid=1 + n_pend)
+                                         append_valid=1 + n_pend,
+                                         kv_merged=kv_merged)
                 deferred.append(kv_new)
             elif defer:
                 attn = _attention_decode(kv, l, q, n_past, st,
-                                         kv_append=kv_new)
+                                         kv_append=kv_new,
+                                         kv_merged=kv_merged)
                 deferred.append(kv_new)
-            elif tokens.shape[1] == 1:
-                # single small in-place write into the donated stacked cache
-                kv = kvcache.write_layer(kv, kv_new, l, n_past)
-                attn = _attention_decode(kv, l, q, n_past, st)
             else:
                 kv = kvcache.write_layer(kv, kv_new, l, n_past)
                 k, v = kvcache.read_layer(kv, l, q.dtype)

@@ -137,6 +137,7 @@ def llama_forward(
     psum_axis: str | None = None,
     pending: jnp.ndarray | None = None,
     n_pend: jnp.ndarray | None = None,
+    kv_merged: jnp.ndarray | None = None,
 ):
     """Same contract as falcon_forward (engine-interchangeable), including
     the chunk-deferred decode mode (pending/n_pend — see falcon_forward:
@@ -167,11 +168,13 @@ def llama_forward(
                 app = jnp.concatenate(
                     [kv_new, pending[l].astype(kv_new.dtype)], axis=2)
                 attn = _attention_decode(kv, l, q, n_past, st, kv_append=app,
-                                         append_valid=1 + n_pend)
+                                         append_valid=1 + n_pend,
+                                         kv_merged=kv_merged)
                 deferred.append(kv_new)
             elif defer:
                 attn = _attention_decode(kv, l, q, n_past, st,
-                                         kv_append=kv_new)
+                                         kv_append=kv_new,
+                                         kv_merged=kv_merged)
                 deferred.append(kv_new)
             else:
                 kv = kvcache.write_layer(kv, kv_new, l, n_past)

@@ -8,8 +8,16 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from ggllm_tpu.kernels.flash_decode import flash_decode  # noqa: E402
+from ggllm_tpu.kernels import flash_decode as fd_mod  # noqa: E402
 from ggllm_tpu.models.falcon import FalconStatic, _attention  # noqa: E402
+
+
+def flash_decode(kv5, layer, q, n_past, **kw):
+    """Test adapter: merge the 6D cache the way the engine's hoisted
+    merged_cache_view does, then call the kernel."""
+    L, _, B, T, KV, D = kv5.shape
+    return fd_mod.flash_decode(kv5.reshape(L, 2, B, T, KV * D), KV, layer,
+                               q, n_past, **kw)
 
 
 def _mk(B, T, KV, H, D, L=3, seed=0):
@@ -101,8 +109,6 @@ def test_empty_cache_with_append():
 def test_mha_single_dot_variant(KV, D):
     """G == 1 with (KV*D) % 128 == 0 routes to the block-diagonal all-heads
     kernel (_cache_partials_mha) — LLaMA's decode shape."""
-    from ggllm_tpu.kernels import flash_decode as fd
-
     B, T, H, l = 2, 96, KV, 1
     rng = np.random.default_rng(11)
     kv5 = jnp.asarray(rng.standard_normal((3, 2, B, T, KV, D)).astype(np.float32))
@@ -113,13 +119,13 @@ def test_mha_single_dot_variant(KV, D):
                       n_embd=H * D, n_ff=32, n_vocab=32, parallel_norms=False)
     ref = _attention(q, kv5[l, 0], kv5[l, 1], n_past, st, kv_append=app,
                      append_valid=jnp.int32(4))
-    got = fd.flash_decode(kv5, l, q, n_past, kv_append=app,
-                          append_valid=jnp.int32(4), interpret=True)
+    got = flash_decode(kv5, l, q, n_past, kv_append=app,
+                       append_valid=jnp.int32(4), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     # confirm the routing actually takes the MHA kernel for this geometry
-    acc, m, lden = fd.cache_partials(kv5, l, q.reshape(B, KV, 1, D),
-                                     jnp.asarray([70, 9], jnp.int32),
-                                     interpret=True)
+    acc, m, lden = fd_mod.cache_partials(
+        kv5.reshape(3, 2, B, T, KV * D), KV, l, q.reshape(B, KV, 1, D),
+        jnp.asarray([70, 9], jnp.int32), interpret=True)
     assert acc.shape == (B, KV, 1, D)
 
 
