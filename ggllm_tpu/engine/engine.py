@@ -592,8 +592,11 @@ class FalconEngine:
                     float(sampler.top_p), pen_spec)
         first = loop_key not in self._warm
         t0 = time.perf_counter()
+        # device_put commits the scalar: the pipelined path feeds back
+        # toks[-1] (committed), and a committed/uncommitted mismatch would
+        # retrace and recompile the loop mid-measurement
         toks, kv, rng_key, _, _ = loop(
-            self.params, jnp.int32(first_token), self.kv,
+            self.params, jax.device_put(jnp.int32(first_token)), self.kv,
             jnp.int32(self.n_past), rng_key, jnp.asarray(ring),
             jnp.int32(len(window) % L),
         )
@@ -640,7 +643,7 @@ class FalconEngine:
         window = window[-min(L, self.cfg.n_ctx):]
         ring_np = np.full(L, self.hp.n_vocab, dtype=np.int32)
         ring_np[: len(window)] = window
-        tok = jnp.int32(first_token)
+        tok = jax.device_put(jnp.int32(first_token))  # committed, like toks[-1]
         ring = jnp.asarray(ring_np)
         pos = jnp.int32(len(window) % L)
         loop_key = ("loop", n_steps, float(sampler.temp), int(sampler.top_k),
