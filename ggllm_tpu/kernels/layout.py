@@ -220,6 +220,33 @@ def extract_codes(gtype: GGMLType, p: dict, O: int, K: int) -> tuple[np.ndarray,
     raise NotImplementedError(f"extract_codes: {gtype}")
 
 
+def _native_repack(gtype: GGMLType, planes: dict, O: int, K: int,
+                   kp: int, ck: int) -> dict:
+    """Legacy-format code planes via the C++ repack (native/quants.cpp
+    gq_repack) — one fused pass instead of numpy's int16 intermediates and
+    transposes (the model-load hot path; ~10-20x on the 1-core bench host).
+    Returns {} when unavailable, and the caller runs the numpy path."""
+    if gtype not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                     GGMLType.Q5_1, GGMLType.Q8_0):
+        return {}
+    from ggllm_tpu import native
+
+    if gtype == GGMLType.Q8_0:
+        q = native.repack_plane(int(gtype), 0, planes["qs"], O, K, kp, ck, ck)
+        return {"q": q.view(np.int8)} if q is not None else {}
+    q = native.repack_plane(int(gtype), 0, planes["qs"], O, K, kp, ck, ck // 2)
+    if q is None:
+        return {}
+    out = {"q": q}
+    if gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        h = native.repack_plane(int(gtype), 1, planes["qh"], O, K, kp, ck,
+                                ck // 8)
+        if h is None:
+            return {}
+        out["h"] = h
+    return out
+
+
 def _pack_plane(sub: np.ndarray, bits: int, ck: int) -> np.ndarray:
     """(O, K) sub-codes < 2^bits -> (n_k, ck*bits//8, O) packed bytes."""
     O, K = sub.shape
@@ -244,18 +271,22 @@ def to_kernel(gtype: GGMLType, planes: dict, shape: tuple) -> KernelQuant:
     kp = padded_k(K, step)
     ck = choose_ck(kp, step, ck_max=_ck_cap(spec))
     assert kp % ck == 0 and ck % max(spec.group, 8) == 0, (gtype, K, kp, ck)
-    codes, ds, ms = extract_codes(gtype, planes, O, K)
-    if kp != K:
-        codes = np.pad(codes, ((0, 0), (0, kp - K)))
 
-    out: dict[str, np.ndarray] = {}
-    for name, bits, shift in spec.planes:
-        if bits == 8:  # Q8_0: signed codes pass through unpacked
-            out[name] = np.ascontiguousarray(codes.T).reshape(
-                kp // ck, ck, O).astype(np.int8)
-            continue
-        sub = (codes >> shift) & ((1 << bits) - 1)
-        out[name] = _pack_plane(sub, bits, ck)
+    out: dict[str, np.ndarray] = _native_repack(gtype, planes, O, K, kp, ck)
+    if out:
+        ds = planes["d"]
+        ms = planes.get("m")
+    else:
+        codes, ds, ms = extract_codes(gtype, planes, O, K)
+        if kp != K:
+            codes = np.pad(codes, ((0, 0), (0, kp - K)))
+        for name, bits, shift in spec.planes:
+            if bits == 8:  # Q8_0: signed codes pass through unpacked
+                out[name] = np.ascontiguousarray(codes.T).reshape(
+                    kp // ck, ck, O).astype(np.int8)
+                continue
+            sub = (codes >> shift) & ((1 << bits) - 1)
+            out[name] = _pack_plane(sub, bits, ck)
 
     n_k = kp // ck
     g = spec.group

@@ -67,6 +67,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int]
         lib.gq_block_size.restype = ctypes.c_int
         lib.gq_type_size.restype = ctypes.c_int
+        if hasattr(lib, "gq_repack"):
+            lib.gq_repack.restype = ctypes.c_int
+            lib.gq_repack.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -87,6 +93,22 @@ def dequantize(gtype: int, blob: np.ndarray, n: int, nthreads: int = 0):
     nthreads = nthreads or min(16, os.cpu_count() or 1)
     rc = lib.gq_dequantize(
         int(gtype), blob.ctypes.data, out.ctypes.data, nb, nthreads)
+    return out if rc == 0 else None
+
+
+def repack_plane(gtype: int, plane: int, qdata: np.ndarray, O: int, K: int,
+                 kp: int, ck: int, rows: int):
+    """Planar code bytes -> fused-kernel packed plane (n_k, rows, O), or
+    None when the lib/format is unavailable (kernels/layout falls back to
+    the numpy path). plane 0 = 4-bit/int8 codes, 1 = q5 high bits."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gq_repack"):
+        return None
+    qdata = np.ascontiguousarray(qdata)
+    row_bytes = qdata.nbytes // O
+    out = np.empty((kp // ck, rows, O), dtype=np.uint8)
+    rc = lib.gq_repack(int(gtype), int(plane), qdata.ctypes.data,
+                       row_bytes, O, K, kp, ck, out.ctypes.data, 0)
     return out if rc == 0 else None
 
 

@@ -785,6 +785,86 @@ void qz_q8_K(const float* x, uint8_t* b) {
     std::memcpy(b + 260, bsums, 32);
 }
 
+// ------------------------------------------------------------- kernel repack
+//
+// Planar blobs -> fused-kernel bit-plane layout (kernels/layout.py
+// _pack_plane semantics): the contraction dim splits into n_k chunks of ck
+// columns; a b-bit plane stores 8/b code groups per byte, where within
+// chunk c byte row r's bit-field i covers column c*ck + i*(ck/(8/b)) + r.
+// This is the model-load hot path (to_kernel): pure byte shuffling that
+// numpy does via int16 intermediates + transposes — minutes for a 7B file
+// on a 1-core host; one fused C++ pass is ~10-20x.
+
+// 4/5-bit planar code: nibble j<16 low / j-16 high of block byte row
+inline uint8_t nib_code(const uint8_t* qs_row, int64_t k) {
+    int64_t b = k >> 5;
+    int j = (int)(k & 31);
+    uint8_t byte = qs_row[b * 16 + (j & 15)];
+    return j < 16 ? (byte & 0xF) : (byte >> 4);
+}
+
+void repack_q4(const uint8_t* qs, int64_t O, int64_t K, int64_t kp,
+               int64_t ck, uint8_t* out, int64_t row_bytes) {
+    int64_t n_k = kp / ck, half = ck / 2;
+    for (int64_t c = 0; c < n_k; c++)
+        for (int64_t r = 0; r < half; r++) {
+            uint8_t* dst = out + (c * half + r) * O;
+            int64_t k_lo = c * ck + r, k_hi = c * ck + half + r;
+            if (k_hi < K) {
+                for (int64_t o = 0; o < O; o++) {
+                    const uint8_t* row = qs + o * row_bytes;
+                    dst[o] = (uint8_t)(nib_code(row, k_lo)
+                                       | (nib_code(row, k_hi) << 4));
+                }
+            } else if (k_lo < K) {
+                for (int64_t o = 0; o < O; o++)
+                    dst[o] = nib_code(qs + o * row_bytes, k_lo);
+            } else {
+                std::memset(dst, 0, O);
+            }
+        }
+}
+
+// q5 high-bit plane: 8 one-bit fields per byte; bit j of the block's u32
+void repack_h1(const uint8_t* qh, int64_t O, int64_t K, int64_t kp,
+               int64_t ck, uint8_t* out, int64_t row_bytes) {
+    int64_t n_k = kp / ck, rows = ck / 8, part = ck / 8;
+    for (int64_t c = 0; c < n_k; c++)
+        for (int64_t r = 0; r < rows; r++) {
+            uint8_t* dst = out + (c * rows + r) * O;
+            std::memset(dst, 0, O);
+            for (int i = 0; i < 8; i++) {
+                int64_t k = c * ck + i * part + r;
+                if (k >= K) continue;
+                int64_t b = k >> 5;
+                int j = (int)(k & 31);
+                for (int64_t o = 0; o < O; o++) {
+                    uint32_t h;
+                    std::memcpy(&h, qh + o * row_bytes + b * 4, 4);
+                    dst[o] |= (uint8_t)(((h >> j) & 1) << i);
+                }
+            }
+        }
+}
+
+void repack_q8(const uint8_t* qs, int64_t O, int64_t K, int64_t kp,
+               int64_t ck, uint8_t* out, int64_t row_bytes) {
+    int64_t n_k = kp / ck;
+    for (int64_t c = 0; c < n_k; c++)
+        for (int64_t r = 0; r < ck; r++) {
+            uint8_t* dst = out + (c * ck + r) * O;
+            int64_t k = c * ck + r;
+            if (k >= K) {
+                std::memset(dst, 0, O);
+                continue;
+            }
+            int64_t b = k >> 5;
+            int j = (int)(k & 31);
+            for (int64_t o = 0; o < O; o++)
+                dst[o] = qs[o * row_bytes + b * 32 + j];
+        }
+}
+
 // ------------------------------------------------------------------ tables
 
 struct Fmt {
@@ -860,5 +940,33 @@ int gq_quantize(int gtype, const float* in, uint8_t* out, int64_t nb,
 
 int gq_block_size(int gtype) { return fmt_of(gtype).block; }
 int gq_type_size(int gtype) { return fmt_of(gtype).bytes; }
+
+// Planar code plane -> fused-kernel packed plane (kernels/layout.to_kernel
+// fast path). plane: 0 = the 4-bit "q" plane (or the int8 q8_0 plane),
+// 1 = the 1-bit "h" high-bit plane (q5_0/q5_1). qdata points at the
+// per-row code bytes (the "qs"/"qh" planar array), row_bytes apart.
+// Output rows are O-contiguous per (chunk, byte-row) as the Pallas kernels
+// expect. Supported: 2/3 (q4_0/q4_1), 6/7 (q5_0/q5_1), 8 (q8_0).
+int gq_repack(int gtype, int plane, const uint8_t* qdata, int64_t row_bytes,
+              int64_t O, int64_t K, int64_t kp, int64_t ck, uint8_t* out,
+              int nthreads) {
+    (void)nthreads;  // single pass is memory-bound; host is 1-core anyway
+    switch (gtype) {
+        case 2: case 3:
+            if (plane != 0) return 1;
+            repack_q4(qdata, O, K, kp, ck, out, row_bytes);
+            return 0;
+        case 6: case 7:
+            if (plane == 0) repack_q4(qdata, O, K, kp, ck, out, row_bytes);
+            else repack_h1(qdata, O, K, kp, ck, out, row_bytes);
+            return 0;
+        case 8:
+            if (plane != 0) return 1;
+            repack_q8(qdata, O, K, kp, ck, out, row_bytes);
+            return 0;
+        default:
+            return 1;
+    }
+}
 
 }  // extern "C"

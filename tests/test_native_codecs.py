@@ -68,3 +68,27 @@ def test_native_quantize_constant_blocks():
 def test_native_unsupported_type_returns_none():
     # F16 (type 1) has no block codec entry
     assert native.quantize(1, np.zeros(256, np.float32)) is None
+
+
+@pytest.mark.parametrize(
+    "gtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+              GGMLType.Q8_0], ids=lambda t: TYPE_TRAITS[t].name)
+def test_native_repack_bitexact(gtype):
+    """The C++ kernel-layout repack (gq_repack) must reproduce the numpy
+    _pack_plane path byte-for-byte, including the K padding."""
+    from ggllm_tpu.kernels import layout as klayout
+    from ggllm_tpu.utils.benchgen import random_quant_tensor
+
+    O, K = 64, 4544  # padded_k(4544) != 4544 exercises the zero fill
+    qt = random_quant_tensor(gtype, O, K)
+    kq_native = klayout.to_kernel(gtype, qt.planes, qt.shape)
+    orig = klayout._native_repack
+    klayout._native_repack = lambda *a, **k: {}
+    try:
+        kq_numpy = klayout.to_kernel(gtype, qt.planes, qt.shape)
+    finally:
+        klayout._native_repack = orig
+    assert set(kq_native.planes) == set(kq_numpy.planes)
+    for k in kq_numpy.planes:
+        np.testing.assert_array_equal(np.asarray(kq_native.planes[k]),
+                                      np.asarray(kq_numpy.planes[k]), err_msg=k)
