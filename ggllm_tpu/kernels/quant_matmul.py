@@ -29,6 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ggllm_tpu.kernels.layout import FORMATS, KernelQuant
 
+# Kernel-variant knobs for experiments/kernel_ab.py probes (module-level so
+# a probe can flip them before tracing; shipped defaults are the measured
+# winners — see docs/PERFORMANCE.md "Kernel variant probes").
+# Round-3 probe results (q4_0, 7B merged tile, real chip):
+#   SPLIT_DOTS: 0.2617 vs 0.2607 ms/call baseline — flat (the sublane concat
+#     is not the bottleneck; interpret-verified, kept for reproducibility).
+#   UNPACK_F32: does NOT lower on TPU ("Unsupported cast: uint8 -> float32"
+#     in Mosaic) — interpret-only.
+#   int4 native dtype (would delete the unpack chain): S4 arrays fail at
+#     creation on this platform (jit recursion) — unavailable.
+UNPACK_F32 = False  # 4-bit unpack via f32 floor-divide instead of i32 shifts
+SPLIT_DOTS = False  # one dot per bit-field part (skips the sublane concat)
+
 
 def _block_o(ck: int, O: int, S: int = 256, code_bits: int = 8) -> int:
     if O <= 256:
@@ -68,20 +81,35 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     q = None
-    for (name, bits, shift), ref in zip(spec.planes, code_refs):
-        v = ref[0].astype(jnp.int32)  # i8 vector shifts unsupported on TPU
-        if bits == 8:
-            unp = v
+    parts4 = None  # variant path: per-bit-field f32 parts, concat deferred
+    simple4 = len(spec.planes) == 1 and spec.planes[0][1] == 4
+    if simple4 and (UNPACK_F32 or SPLIT_DOTS):
+        ref = code_refs[0]
+        if UNPACK_F32:
+            # f32-domain unpack: one convert on the packed (half-size) tile
+            # plus floor-divide, instead of widen+shift+mask+convert
+            vf = ref[0].astype(jnp.float32)
+            hi = jnp.floor(vf * jnp.float32(1.0 / 16.0))
+            parts4 = [vf - hi * jnp.float32(16.0), hi]
         else:
-            mask = (1 << bits) - 1
-            n_parts = 8 // bits
-            # the top field needs no mask: v < 256, so v >> (8-bits) is clean
-            parts = [(v >> (i * bits)) & mask if i < n_parts - 1
-                     else v >> (i * bits) for i in range(n_parts)]
-            unp = jnp.concatenate(parts, axis=0)  # (ck, bo)
-        if shift:
-            unp = unp << shift
-        q = unp if q is None else q + unp
+            v = ref[0].astype(jnp.int32)
+            parts4 = [(v & 0xF).astype(jnp.float32),
+                      (v >> 4).astype(jnp.float32)]
+    else:
+        for (name, bits, shift), ref in zip(spec.planes, code_refs):
+            v = ref[0].astype(jnp.int32)  # i8 vector shifts unsupported on TPU
+            if bits == 8:
+                unp = v
+            else:
+                mask = (1 << bits) - 1
+                n_parts = 8 // bits
+                # the top field needs no mask: v < 256, so v >> (8-bits) is clean
+                parts = [(v >> (i * bits)) & mask if i < n_parts - 1
+                         else v >> (i * bits) for i in range(n_parts)]
+                unp = jnp.concatenate(parts, axis=0)  # (ck, bo)
+            if shift:
+                unp = unp << shift
+            q = unp if q is None else q + unp
 
     def f16dec(v):
         # fp16 bit pattern stored as int16 (Mosaic has no f16): exact decode
@@ -124,11 +152,30 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
         ds_g = scales(sc_refs["ds"]).astype(dq)
         ms_g = scales(sc_refs["ms"]).astype(dq) if has_ms else None
 
-    w = q.astype(dq) * jnp.repeat(ds_g.astype(dq), spec.group, axis=0)
-    acc = jax.lax.dot_general(
-        x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if parts4 is not None and SPLIT_DOTS:
+        # one dot per bit-field: part i covers chunk columns
+        # [i*ck/2, (i+1)*ck/2) (kernels/layout._pack_plane order), so x and
+        # the per-group scales slice cleanly and the sublane concat vanishes
+        half = ck // 2
+        hg = half // spec.group
+        acc = None
+        for i, p in enumerate(parts4):
+            w = p * jnp.repeat(ds_g[i * hg:(i + 1) * hg].astype(dq),
+                               spec.group, axis=0)
+            a = jax.lax.dot_general(
+                x_ref[:, i * half:(i + 1) * half], w.astype(w_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            acc = a if acc is None else acc + a
+    else:
+        if parts4 is not None:
+            w = jnp.concatenate(parts4, axis=0)
+        else:
+            w = q.astype(dq)
+        w = w * jnp.repeat(ds_g.astype(dq), spec.group, axis=0)
+        acc = jax.lax.dot_general(
+            x_ref[:], w.astype(w_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if has_corr:
         corr = ms_g if ms_g is not None else (-spec.offset) * ds_g
         acc = acc - jax.lax.dot_general(
