@@ -511,7 +511,7 @@ class FalconEngine:
                 L_, _, _, _, KV_, D_ = kvd.shape
                 pdtype = dtype if kv_dtype == "int8" else kvd.dtype
                 pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
-                kvm = merged_cache_view(kvd, st)
+                kvm = merged_cache_view(kv, st)
 
                 def body(carry, j):
                     tok, pending, rng, ring, pos = carry
@@ -884,7 +884,7 @@ class FalconEngine:
                 L_, _, _, _, KV_, D_ = kvd.shape
                 pdtype = dtype if kv_dtype == "int8" else kvd.dtype
                 pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
-                kvm = merged_cache_view(kvd, st)  # hoisted: once per chunk
+                kvm = merged_cache_view(kv, st)  # hoisted: once per chunk
 
                 def body(carry, j):
                     toks, pending, rings, ring_pos, mu, rng = carry

@@ -53,8 +53,13 @@ def supported(KV: int, D: int) -> bool:
     return (hb * D) % 128 == 0 or hb * D == KV * D
 
 
-def _kern(scale, BT, HB, G, D, l_ref, valid_ref, q_ref, k_ref, v_ref,
-          acc_o, m_o, l_o, m_s, l_s, acc_s):
+def _kern(scale, BT, HB, G, D, quant, l_ref, valid_ref, q_ref, k_ref, v_ref,
+          *rest):
+    if quant:
+        ks_ref, vs_ref, acc_o, m_o, l_o, m_s, l_s, acc_s = rest
+    else:
+        ks_ref = vs_ref = None
+        acc_o, m_o, l_o, m_s, l_s, acc_s = rest
     b = pl.program_id(0)
     t = pl.program_id(2)
 
@@ -70,8 +75,13 @@ def _kern(scale, BT, HB, G, D, l_ref, valid_ref, q_ref, k_ref, v_ref,
     @pl.when(t < needed)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (HB*G, D)
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # (BT, HB*D)
-        v = v_ref[0, 0, 0].astype(jnp.float32)
+        k, v = k_ref[0, 0, 0], v_ref[0, 0, 0]  # (BT, HB*D)
+        if quant:  # int8 codes: Mosaic casts int->float via i32
+            k = k.astype(jnp.int32).astype(jnp.float32)
+            v = v.astype(jnp.int32).astype(jnp.float32)
+        else:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
         k_pos = t * BT + jax.lax.broadcasted_iota(jnp.int32, (G, BT), 1)
         kmask = k_pos < valid
         ms, ls, accs = [], [], []
@@ -80,16 +90,24 @@ def _kern(scale, BT, HB, G, D, l_ref, valid_ref, q_ref, k_ref, v_ref,
                 q[h * G:(h + 1) * G], k[:, h * D:(h + 1) * D],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (G, BT)
+            if quant:
+                # int8 cache: the per-(t, head) scale factors out of the
+                # over-D dot — one lane-broadcast multiply per head
+                s = s * ks_ref[0, 0, 0, h:h + 1]  # (1, BT)
             s = jnp.where(kmask, s, NEG_INF)
             m_prev = m_s[h * G:(h + 1) * G]  # (G, 1)
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
+            if quant:  # fold the V scale into the probabilities
+                pv_in = p * vs_ref[0, 0, 0, h:h + 1]
+            else:
+                pv_in = p
             ms.append(m_new)
             ls.append(l_s[h * G:(h + 1) * G] * alpha
                       + jnp.sum(p, axis=-1, keepdims=True))
             accs.append(acc_s[h * G:(h + 1) * G] * alpha + jax.lax.dot_general(
-                p, v[:, h * D:(h + 1) * D], (((1,), (0,)), ((), ())),
+                pv_in, v[:, h * D:(h + 1) * D], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         m_s[:] = ms[0] if HB == 1 else jnp.concatenate(ms, axis=0)
         l_s[:] = ls[0] if HB == 1 else jnp.concatenate(ls, axis=0)
@@ -102,8 +120,13 @@ def _kern(scale, BT, HB, G, D, l_ref, valid_ref, q_ref, k_ref, v_ref,
         l_o[0, 0] = l_s[:]
 
 
-def _kern_mha(scale, BT, l_ref, valid_ref, qbd_ref, e_ref, k_ref, v_ref,
-              acc_o, m_o, l_o, m_s, l_s, acc_s):
+def _kern_mha(scale, BT, quant, l_ref, valid_ref, qbd_ref, e_ref, k_ref,
+              v_ref, *rest):
+    if quant:
+        ks_ref, vs_ref, acc_o, m_o, l_o, m_s, l_s, acc_s = rest
+    else:
+        ks_ref = vs_ref = None
+        acc_o, m_o, l_o, m_s, l_s, acc_s = rest
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -120,11 +143,18 @@ def _kern_mha(scale, BT, l_ref, valid_ref, qbd_ref, e_ref, k_ref, v_ref,
     def _():
         k = k_ref[0, 0, 0]  # (BT, KV*D) native dtype
         v = v_ref[0, 0, 0]
+        if quant:  # int8 codes -> f32 via i32 (direct i8 casts don't lower)
+            k = k.astype(jnp.int32).astype(jnp.float32)
+            v = v.astype(jnp.int32).astype(jnp.float32)
         # ALL heads in one MXU dot: qbd is block-diagonal (KV*D, KV) with
         # head kv's query in rows [kv*D, (kv+1)*D) of column kv
         s = jax.lax.dot_general(
             k, qbd_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (BT, KV)
+        if quant:
+            # int8 cache: scales ride in (KV, BT) tiles; one small
+            # transpose + elementwise multiply applies them exactly
+            s = s * ks_ref[0, 0, 0].T
         k_pos = t * BT + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(k_pos < valid, s, NEG_INF)
         m_prev = m_s[:]  # (1, KV)
@@ -132,6 +162,8 @@ def _kern_mha(scale, BT, l_ref, valid_ref, qbd_ref, e_ref, k_ref, v_ref,
         p = jnp.exp(s - m_new)  # (BT, KV)
         alpha = jnp.exp(m_prev - m_new)  # (1, KV)
         l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        if quant:  # fold the V scale into p before the lane expansion
+            p = p * vs_ref[0, 0, 0].T
         # expand per-head columns back to per-head lane blocks (E = the
         # 0/1 head->lanes map), weight V, reduce over time (sublanes)
         pexp = jax.lax.dot_general(
@@ -156,13 +188,17 @@ def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
                         block_t: int = 256, interpret: bool = False):
     """G == 1 (MHA) variant: one grid step covers ALL heads of a time tile —
     scores via a single block-diagonal MXU dot instead of KV separate
-    per-head programs (which cost 32x the grid overhead at LLaMA geometry)."""
+    per-head programs (which cost 32x the grid overhead at LLaMA geometry).
+
+    kv4 may be (codes int8, scales (L,2,B,KV,T) f32) for int8 caches."""
+    quant = isinstance(kv4, tuple)
+    kv4, sc = kv4 if quant else (kv4, None)
     L, _, B, T, KVD = kv4.shape
     D = KVD // KV
     BT = min(block_t, T)
     NT = pl.cdiv(T, BT)
     scale = 1.0 / (D ** 0.5)
-    dt = kv4.dtype
+    dt = jnp.float32 if quant else kv4.dtype
 
     q1 = qg.reshape(B, KV, D)
     eye = jnp.eye(KV, dtype=jnp.float32)
@@ -179,6 +215,18 @@ def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
         needed = (vref[b] + BT - 1) // BT
         return (lref[0], 1, b, jnp.minimum(t, jnp.maximum(needed - 1, 0)), 0)
 
+    def ks_map(b, t, lref, vref):
+        needed = (vref[b] + BT - 1) // BT
+        return (lref[0], 0, b, 0, jnp.minimum(t, jnp.maximum(needed - 1, 0)))
+
+    def vs_map(b, t, lref, vref):
+        needed = (vref[b] + BT - 1) // BT
+        return (lref[0], 1, b, 0, jnp.minimum(t, jnp.maximum(needed - 1, 0)))
+
+    scale_specs = [
+        pl.BlockSpec((1, 1, 1, KV, BT), ks_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, KV, BT), vs_map, memory_space=pltpu.VMEM),
+    ] if quant else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, NT),
@@ -189,7 +237,7 @@ def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT, KV * D), k_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT, KV * D), v_map, memory_space=pltpu.VMEM),
-        ],
+        ] + scale_specs,
         out_specs=[
             pl.BlockSpec((1, KV * D), lambda b, t, lref, vref: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -205,8 +253,9 @@ def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
         ],
     )
 
+    operands = [qbd, e, kv4, kv4] + ([sc, sc] if quant else [])
     acc, m, l = pl.pallas_call(
-        functools.partial(_kern_mha, scale, BT),
+        functools.partial(_kern_mha, scale, BT, quant),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV * D), jnp.float32),
@@ -218,7 +267,7 @@ def _cache_partials_mha(kv4, KV: int, layer, qg: jnp.ndarray,
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32), jnp.asarray(cache_valid, jnp.int32),
-      qbd, e, kv4, kv4)
+      *operands)
     return (acc.reshape(B, KV, 1, D), m.reshape(B, KV, 1, 1),
             l.reshape(B, KV, 1, 1))
 
@@ -231,17 +280,23 @@ def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
 
     kv4: stacked cache in MERGED head-lane form (L, 2, B, T, KV*D), any
     float dtype — reshape the 6D cache ONCE per chunk (the relayout
-    materializes; see models.falcon.merged_cache_view).
+    materializes; see models.falcon.merged_cache_view) — or, for int8
+    caches, a tuple (codes int8, scales (L, 2, B, KV, T) f32): the kernel
+    dequantizes on the fly (scales factor out of the over-D dots).
     qg: (B, KV, G, D) queries grouped by kv head (head h = kv*G + g).
     cache_valid: (B,) int32 — rows strictly below are attended.
     Returns (acc (B,KV,G,D), m (B,KV,G,1), l (B,KV,G,1)), all f32.
     """
-    L, _, B, T, KVD = kv4.shape
+    quant = isinstance(kv4, tuple)
+    codes4 = kv4[0] if quant else kv4
+    L, _, B, T, KVD = codes4.shape
     D = KVD // KV
     G = qg.shape[2]
     if G == 1 and KV > 1 and (KV * D) % 128 == 0:
         return _cache_partials_mha(kv4, KV, layer, qg, cache_valid,
                                    interpret=interpret)
+    sc = kv4[1] if quant else None
+    kv4 = codes4
     HB = _heads_per_block(KV, D)
     NKV = KV // HB
     BT = min(block_t, T)
@@ -261,6 +316,16 @@ def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
     def v_map(b, kv, t, lref, vref):
         return (lref[0], 1, b, tile_idx(t, vref, b), kv)
 
+    def ks_map(b, kv, t, lref, vref):
+        return (lref[0], 0, b, kv, tile_idx(t, vref, b))
+
+    def vs_map(b, kv, t, lref, vref):
+        return (lref[0], 1, b, kv, tile_idx(t, vref, b))
+
+    scale_specs = [
+        pl.BlockSpec((1, 1, 1, HB, BT), ks_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, HB, BT), vs_map, memory_space=pltpu.VMEM),
+    ] if quant else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, NKV, NT),
@@ -270,7 +335,7 @@ def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT, HB * D), k_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, BT, HB * D), v_map, memory_space=pltpu.VMEM),
-        ],
+        ] + scale_specs,
         out_specs=[
             pl.BlockSpec((1, 1, HB * G, D),
                          lambda b, kv, t, lref, vref: (b, kv, 0, 0),
@@ -288,8 +353,9 @@ def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
             pltpu.VMEM((HB * G, D), jnp.float32),
         ],
     )
+    operands = [q4, kv4, kv4] + ([sc, sc] if quant else [])
     acc, m, l = pl.pallas_call(
-        functools.partial(_kern, scale, BT, HB, G, D),
+        functools.partial(_kern, scale, BT, HB, G, D, quant),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, NKV, HB * G, D), jnp.float32),
@@ -301,7 +367,7 @@ def cache_partials(kv4, KV: int, layer, qg: jnp.ndarray,
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32), jnp.asarray(cache_valid, jnp.int32),
-      q4, kv4, kv4)
+      *operands)
     return (acc.reshape(B, KV, G, D), m.reshape(B, KV, G, 1),
             l.reshape(B, KV, G, 1))
 

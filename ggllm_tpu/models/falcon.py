@@ -188,17 +188,25 @@ def _attention_decode(kv, l: int, q, n_past, st, kv_append=None,
                         interpret=not _on_tpu())
 
 
-def merged_cache_view(kv, st) -> jnp.ndarray | None:
-    """(L, 2, B, T, KV*D) view of a dense cache for flash-decode, or None
-    when the kernel cannot run (int8 tuple, non-flash engine, unsupported
-    lane layout). Callers hoist this OUTSIDE the decode scan so the
-    relayout is paid once per chunk, not once per layer-step."""
+def merged_cache_view(kv, st):
+    """Flash-decode cache operand, hoisted OUTSIDE the decode scan so the
+    relayouts are paid once per chunk, not once per layer-step.
+
+    Dense cache -> the (L, 2, B, T, KV*D) merged view. int8 cache (codes,
+    scales) -> (codes merged, scales transposed to (L, 2, B, KV, T)) — the
+    kernel dequantizes on the fly, which is what makes int8 KV + flash
+    decode compose for long contexts. None = einsum fallback."""
     from ggllm_tpu.kernels.flash_decode import supported
 
-    if isinstance(kv, tuple) or not getattr(st, "flash", False):
+    if not getattr(st, "flash", False):
         return None
     if not supported(st.n_head_kv, st.head_dim):
         return None
+    if isinstance(kv, tuple):
+        data, scales = kv
+        L, _, B, T, KV, D = data.shape
+        return (data.reshape(L, 2, B, T, KV * D),
+                jnp.moveaxis(scales[..., 0], 3, 4).astype(jnp.float32))
     L, _, B, T, KV, D = kv.shape
     return kv.reshape(L, 2, B, T, KV * D)
 

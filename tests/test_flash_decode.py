@@ -129,6 +129,38 @@ def test_mha_single_dot_variant(KV, D):
     assert acc.shape == (B, KV, 1, D)
 
 
+@pytest.mark.parametrize("KV,H,D", [(1, 5, 8), (2, 6, 8), (2, 2, 64), (4, 4, 8)])
+def test_int8_cache_matches_dequantized_einsum(KV, H, D):
+    """int8 (codes, scales) caches: the kernel dequantizes on the fly; must
+    equal the einsum reference on the exactly-dequantized cache. Covers the
+    per-head path, HB>1, and the MHA block-diagonal variant (KV=2, D=64)."""
+    from ggllm_tpu.models.falcon import merged_cache_view
+    from ggllm_tpu.ops import kvcache
+
+    B, T, L, l = 2, 96, 2, 1
+    rng = np.random.default_rng(21)
+    dense = rng.standard_normal((L, 2, B, T, KV, D)).astype(np.float32)
+    q_, scl = kvcache.quantize_new(jnp.asarray(dense.reshape(2 * L, B, T, KV, D)))
+    codes = jnp.asarray(q_).reshape(L, 2, B, T, KV, D)
+    scales = jnp.asarray(scl).reshape(L, 2, B, T, KV, 1)
+    deq = (codes.astype(jnp.float32) * scales)  # exact dequant, f32
+
+    st = FalconStatic(n_layer=L, n_head=H, n_head_kv=KV, head_dim=D,
+                      n_embd=H * D, n_ff=32, n_vocab=32, parallel_norms=False,
+                      flash=True)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    app = jnp.asarray(rng.standard_normal((2, B, 5, KV, D)).astype(np.float32))
+    n_past = jnp.asarray([60, 9], jnp.int32)
+    ref = _attention(q, deq[l, 0], deq[l, 1], n_past, st, kv_append=app,
+                     append_valid=jnp.int32(3))
+
+    merged = merged_cache_view((codes, scales), st)
+    assert isinstance(merged, tuple)
+    got = fd_mod.flash_decode(merged, KV, l, q, n_past, kv_append=app,
+                              append_valid=jnp.int32(3), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_bf16_cache_small_blocks():
     """bf16 cache with a block smaller than T exercises multi-tile online
     softmax and the tile-aliasing index map."""
