@@ -51,6 +51,8 @@ VARIANTS = {
 }
 
 O, K = 22848, 4544  # 7B merged-QKV+FFN-up decode tile
+if "--down" in sys.argv:
+    O, K = 4544, 18176  # 7B FFN-down decode tile (long contraction)
 qt = random_quant_tensor(gtype, O, K)
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32)).astype(
@@ -59,7 +61,7 @@ x0 = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32)).astype(
 # exact-dequant reference for correctness
 from ggllm_tpu.ops.linear import dequant_jnp
 
-w = np.asarray(dequant_jnp(qt, jnp.float32))
+w = np.asarray(dequant_jnp(gtype, qt.planes, qt.shape, jnp.float32))
 y_ref = np.asarray(x0, np.float32) @ w.T
 
 klayout._native_repack = lambda *a, **k: {}  # force the generic pack path
@@ -82,7 +84,8 @@ for name, planes in VARIANTS.items():
     def probe(x0, kq=kq):
         def step(x, _):
             y = fused_matmul_2d(kq, x, jnp.float32)
-            x = (y[:, :K] * jnp.float32(1e-3)).astype(x0.dtype)
+            yk = jnp.tile(y, (1, -(-K // O)))[:, :K]  # data-dep feedback
+            x = (yk * jnp.float32(1e-3)).astype(x0.dtype)
             return x, y[0, 0]
 
         x, ys = jax.lax.scan(step, x0, None, length=N)
