@@ -179,10 +179,68 @@ def _kern(spec, ck, n_code, has_ms, w_dtype, *refs):
     if has_corr:
         corr = ms_g if ms_g is not None else (-spec.offset) * ds_g
         acc = acc - jax.lax.dot_general(
-            xg_ref[0], corr.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            xg_ref[:, :corr.shape[0]], corr.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     o_ref[:] += acc
+
+
+def _xg_kern(x_ref, e_ref, o_ref):
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], e_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _group_map(ck: int, g: int, cgp: int):
+    # numpy, not jnp: a cached device array would leak tracers across jit
+    # scopes (it embeds as a fresh constant per trace instead)
+    import numpy as np
+
+    e = np.zeros((ck, cgp), np.float32)
+    e[np.arange(ck), np.arange(ck) // g] = 1.0
+    return e
+
+
+def _group_sums(x: jnp.ndarray, n_k: int, ck: int, g: int, bs: int,
+                interpret: bool) -> jnp.ndarray:
+    """(S, kp) -> (S, n_k*cgp) per-group sums of x, groups zero-padded per
+    chunk to cgp = 128-multiple lanes.
+
+    One tiny MXU dot against a 0/1 group-map matrix instead of an XLA
+    reduce: reducing (S, 23040) bf16 over lane groups made XLA materialize
+    a full f32 copy of x PLUS a 377 MB layout-transpose of it per layer at
+    2048-ctx prefill (~1 ms/layer, trace-verified). Here x streams once
+    more (~24 us/layer) and the dot is ~1% of the main kernel's FLOPs."""
+    S = x.shape[0]
+    cg = ck // g
+    cgp = -(-cg // 128) * 128
+    n_kp = x.shape[1] // ck
+    if S < 256:
+        # decode-sized rows: the reduce is tiny and fuses in XLA; a pallas
+        # launch here costs more than it saves (~0.25 ms/token at 7B)
+        xg = jnp.sum(x.reshape(S, n_kp, cg, g), axis=-1, dtype=jnp.float32)
+        return jnp.pad(xg, ((0, 0), (0, 0), (0, cgp - cg))).reshape(
+            S, n_kp * cgp)
+    e = jnp.asarray(_group_map(ck, g, cgp), x.dtype)
+    return pl.pallas_call(
+        _xg_kern,
+        grid=(pl.cdiv(S, bs), n_k),
+        in_specs=[
+            pl.BlockSpec((bs, ck), lambda s, c: (s, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ck, cgp), lambda s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bs, cgp), lambda s, c: (s, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, n_k * cgp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x, e)
 
 
 def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
@@ -210,14 +268,15 @@ def fused_matmul_2d(kq: KernelQuant, x: jnp.ndarray, out_dtype,
     in_specs = [pl.BlockSpec((bs, ck), lambda s, i, c: (s, c),
                              memory_space=pltpu.VMEM)]
     if has_corr:
-        # per-group sums of x for the affine correction dot (see _kern);
-        # computed once in XLA — negligible next to the weight stream.
-        # Shaped (n_k, S, ck//g) so the block's last dim equals the full
-        # array dim (Mosaic requires lane dims be 128-divisible or whole).
+        # per-group sums of x for the affine correction dot (see _kern) in
+        # x's row-major layout, group lanes zero-padded per chunk to a
+        # 128-multiple so the block is lane-divisible (Mosaic); the kernel
+        # slices [:, :ck//g] (offset-0 lane slice, free)
         g = spec.group
-        xg = jnp.sum(x.astype(jnp.float32).reshape(S, n_k, ck // g, g), axis=-1)
-        operands.append(jnp.swapaxes(xg, 0, 1))
-        in_specs.append(pl.BlockSpec((1, bs, ck // g), lambda s, i, c: (c, s, 0),
+        cgp = -(-(ck // g) // 128) * 128
+        xg = _group_sums(x, n_k, ck, g, bs, interpret)
+        operands.append(xg)
+        in_specs.append(pl.BlockSpec((bs, cgp), lambda s, i, c: (s, c),
                                      memory_space=pltpu.VMEM))
     for p in code_planes + scale_planes:
         rows = p.shape[1]
