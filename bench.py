@@ -4,6 +4,16 @@ Measures steady-state single-stream decode throughput at real Falcon-7B
 geometry with Q4_0 weights (BASELINE config 1/2 analogue; the reference's
 comparable number is 45.99 tok/s for 7B Q4_1 on an RTX 4090, README.md:183-191).
 
+Startup is engineered to be fast and predictable — XLA compiles through the
+device tunnel have shown 30-400 s variance, and the round-3 driver run timed
+out — so the bench:
+  * builds synthetic params DIRECTLY in fused-kernel layout (~14 s, no
+    quantize/repack pass, no native build; utils/benchgen.fast_kernel_quant);
+  * compiles ONE program (the fused decode loop) — no prefill: decode_chunk
+    starts from a fresh KV cache at n_past=0, and decode cost is dominated by
+    weight streaming, not the <=384-token KV read;
+  * persists the compile cache in-repo so re-runs on this machine are warm.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
 """
@@ -11,26 +21,32 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_TOKS = 45.99  # reference Falcon-7B Q4_1 decode on RTX 4090
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_compile_cache")
 
 
 def main():
     import jax
 
     # persistent compile cache: first compiles through the device tunnel can
-    # take minutes; repeated bench runs should not pay twice
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import jax.numpy as jnp
+    # take minutes; repeated bench runs should not pay twice. In-repo so it
+    # survives as long as the checkout does (unlike /tmp).
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    # cache EVERYTHING (min 0): through a degraded tunnel even trivial
+    # compiles can queue for minutes, so every miss avoided counts
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from ggllm_tpu.core.config import EngineConfig, FalconHParams
     from ggllm_tpu.core.dtypes import GGMLType
     from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.ops import sampling
     from ggllm_tpu.utils.benchgen import make_bench_params
 
     hp = FalconHParams.falcon7b()
@@ -44,25 +60,17 @@ def main():
     t0 = time.time()
     params = make_bench_params(hp, GGMLType.Q4_0)
     params = jax.device_put(params)
+    jax.block_until_ready(params["lm_head"].planes["q"])
     print(f"params built in {time.time() - t0:.1f}s; backend={jax.default_backend()}",
           file=sys.stderr)
 
     engine = FalconEngine(hp, params, cfg)
-
     rng = np.random.default_rng(0)
-    prompt = rng.integers(0, hp.n_vocab, 128).tolist()
-
-    t0 = time.time()
-    engine.eval(prompt)  # prefill (includes compile)
-    print(f"prefill+compile {time.time() - t0:.1f}s", file=sys.stderr)
-
-    from ggllm_tpu.ops import sampling
-
     greedy = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
-
-    # warmup: compiles the fused decode loop
     tok = int(rng.integers(0, hp.n_vocab))
     chunk = cfg.decode_chunk
+
+    # warmup: compiles the fused decode loop (the only compile in this bench)
     t0 = time.time()
     engine.decode_chunk(tok, chunk, greedy)
     print(f"decode-loop compile {time.time() - t0:.1f}s", file=sys.stderr)
@@ -83,5 +91,46 @@ def main():
     }))
 
 
+def run_with_retries():
+    """Run the measurement in subprocess attempts with per-attempt timeouts.
+
+    The device tunnel intermittently degrades: a dispatch that normally takes
+    ~1 s has been observed to block 5+ minutes (the round-3 driver bench
+    timed out on such a window). One attempt hitting a bad window must not
+    consume the whole outer budget — later attempts reuse the persistent
+    compile cache, so a retry costs ~40 s when the tunnel recovers.
+    """
+    import subprocess
+
+    for budget in (150, 150, 210):
+        t0 = time.time()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            start_new_session=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            os.killpg(proc.pid, signal.SIGKILL)  # exact child pgid, not a pattern
+            proc.wait()
+            print(f"attempt timed out after {budget}s, retrying",
+                  file=sys.stderr)
+            continue
+        line = next((ln for ln in (out or "").splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"attempt failed rc={proc.returncode} in {time.time()-t0:.0f}s, "
+              "retrying", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv:
+        main()
+    else:
+        sys.exit(run_with_retries())

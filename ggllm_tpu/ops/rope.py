@@ -17,6 +17,7 @@ Angles are computed in float32; applied to any dtype.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ggllm_tpu.core.config import RopeConfig
 
@@ -40,12 +41,19 @@ def ntk_alpha(cfg: RopeConfig, n_ctx: int, head_dim: int, arch: str = "falcon") 
 
 
 def rope_angles(cfg: RopeConfig, n_ctx: int, head_dim: int,
-                arch: str = "falcon") -> jnp.ndarray:
-    """Per-dimension inverse frequencies, shape (head_dim//2,) float32."""
+                arch: str = "falcon") -> np.ndarray:
+    """Per-dimension inverse frequencies, shape (head_dim//2,) float32.
+
+    Returns HOST numpy on purpose: callers close over this array in jitted
+    functions, and a device-array closure constant (a) forces a blocking
+    device fetch during MLIR lowering — seconds to MINUTES through a
+    degraded device tunnel — and (b) keys the persistent compile cache on
+    the buffer's identity path, defeating warm starts. A numpy constant
+    embeds directly and hashes stably."""
     alpha = ntk_alpha(cfg, n_ctx, head_dim, arch)
     theta_scale = (alpha * cfg.freq_base) ** (-2.0 / head_dim)
-    j = jnp.arange(head_dim // 2, dtype=jnp.float32)
-    return theta_scale**j  # theta_scale < 1
+    j = np.arange(head_dim // 2, dtype=np.float32)
+    return (theta_scale**j).astype(np.float32)  # theta_scale < 1
 
 
 def apply_rope(

@@ -70,6 +70,84 @@ def random_quant_tensor(gtype: GGMLType, out: int, cols: int, scale=0.02) -> Qua
     return QuantTensor(gtype, (out, cols), planes)
 
 
+_byte_block = None
+
+
+def _tiled_bytes(shape) -> np.ndarray:
+    """Cheap large random byte array: tile a 64k random block."""
+    global _byte_block
+    if _byte_block is None:
+        _byte_block = _rng.integers(0, 256, 65536, dtype=np.uint8)
+    n = int(np.prod(shape))
+    reps = n // _byte_block.size + 1
+    return np.broadcast_to(_byte_block, (reps, _byte_block.size)).reshape(-1)[:n] \
+        .reshape(shape).copy()
+
+
+def fast_kernel_quant(gtype: GGMLType, out: int, cols: int, scale=0.02,
+                      device: bool = False):
+    """Random KernelQuant built DIRECTLY in fused-kernel layout.
+
+    Skips the planar-representation + to_kernel repack entirely (the repack is
+    the model-load hot path and costs ~40-100 s for a 7B on a 1-core host —
+    round-3 bench timed out on it). Code planes get tiled random bytes (the
+    unpack chain is data-independent, so perf is identical to real weights),
+    scales get the same fp16-exact constants make_bench_params always used.
+    Shapes/dtypes are test-enforced equal to kernels/layout.to_kernel output
+    (tests/test_kernels.py::test_fast_kernel_quant_layout_matches).
+
+    device=True generates the code planes ON DEVICE with jax.random — zero
+    host->device upload, which matters through the device tunnel (~850 MB of
+    7B params measured 15-60 s to push; device generation is ~free).
+    """
+    from ggllm_tpu.kernels import layout as klayout
+
+    if device:
+        import jax
+
+        key = jax.random.key(42)
+
+        def rand_bytes(shape):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return jax.random.bits(sub, shape, dtype=jnp.uint8)
+
+        full = jnp.full
+    else:
+        rand_bytes = _tiled_bytes
+        full = np.full
+
+    spec = klayout.FORMATS[gtype]
+    step = 256 if spec.two_level else 128
+    kp = klayout.padded_k(cols, step)
+    ck = klayout.choose_ck(kp, step, ck_max=klayout._ck_cap(spec))
+    n_k = kp // ck
+    planes: dict = {}
+    for name, bits, _shift in spec.planes:
+        if bits == 8:
+            planes[name] = rand_bytes((n_k, ck, out)).view(np.int8)
+        else:
+            planes[name] = rand_bytes((n_k, ck * bits // 8, out))
+    d16 = np.float16(scale / 8).view(np.int16)
+    if spec.two_level:
+        for sname in spec.scale_names:
+            if sname in ("db", "dminb"):
+                planes[sname] = full((n_k, ck // 256, out), d16, np.int16)
+            elif sname == "scb":  # Q2_K packed 4-bit scale | 4-bit min
+                planes[sname] = rand_bytes((n_k, ck // spec.group, out))
+            else:  # sc / scm: small integer sub-scales
+                planes[sname] = (rand_bytes((n_k, ck // spec.group, out))
+                                 % 31 + 1).astype(np.int8)
+    else:
+        planes["ds"] = full((n_k, ck // spec.group, out), d16, np.int16)
+        if spec.has_min:
+            sign = -1.0 if gtype in (GGMLType.Q4_1, GGMLType.Q5_1) else 1.0
+            planes["ms"] = full((n_k, ck // spec.group, out),
+                                np.float16(sign * scale / 16).view(np.int16),
+                                np.int16)
+    return klayout.KernelQuant(gtype, (out, cols), ck, planes)
+
+
 def make_bench_params(
     hp: FalconHParams,
     gtype: GGMLType = GGMLType.Q4_0,
@@ -94,10 +172,9 @@ def make_bench_params(
     E, H, KV, D, F, V = hp.n_embd, hp.n_head, hp.n_head_kv, hp.head_dim, hp.n_ff, hp.n_vocab
 
     def qw(out, cols):
-        qt = random_quant_tensor(gtype, out, cols)
         if kernel:
-            return klayout.to_kernel(gtype, qt.planes, qt.shape)
-        return qt
+            return fast_kernel_quant(gtype, out, cols, device=True)
+        return random_quant_tensor(gtype, out, cols)
 
     def stack_qt(parts: list):
         planes = {
@@ -138,11 +215,23 @@ def make_bench_params(
                 lw["wqkvu"] = to_device(qw(n_qkv + F, E))
             return lw
 
-        if distinct:
-            layers = [build_layer() for _ in range(L)]
-        else:
-            proto = build_layer()
-            layers = [dict(proto) for _ in range(L)]
+        # ONE jitted program builds every buffer on device: no host->device
+        # upload and a single dispatch (dozens of separate small random/full
+        # dispatches each pay tunnel round-trip latency, which fluctuates
+        # from ms to minutes on the shared compile service)
+        def build_all():
+            protos = [build_layer() for _ in range(L if distinct else 1)]
+            return {
+                "tok_embeddings": jax.random.normal(
+                    jax.random.key(7), (V, E), compute_dtype) * 0.02,
+                "output_norm": jnp.ones(E, jnp.float32),
+                "output_norm_b": jnp.zeros(E, jnp.float32),
+                "lm_head": qw(V, E),
+            }, protos
+
+        out, protos = jax.jit(build_all)()
+        out["layers"] = protos if distinct else [dict(protos[0]) for _ in range(L)]
+        return out
     else:
         layers = {
             "input_ln_w": jnp.ones((L, E), jnp.float32),
@@ -180,25 +269,31 @@ def make_llama_bench_params(
     E, F, V, L = hp.n_embd, hp.n_ff, hp.n_vocab, hp.n_layer
 
     def qw(out, cols):
-        qt = random_quant_tensor(gtype, out, cols)
-        return klayout.to_kernel(gtype, qt.planes, qt.shape)
+        return fast_kernel_quant(gtype, out, cols, device=True)
 
     def dev(kq):
         return klayout.KernelQuant(
             kq.gtype, kq.shape, kq.ck,
             {k: jnp.asarray(v) for k, v in kq.planes.items()})
 
-    proto = {
-        "attn_norm": jnp.ones(E, jnp.float32),
-        "ffn_norm": jnp.ones(E, jnp.float32),
-        "wqkv": dev(qw(3 * E, E)),
-        "w13": dev(qw(2 * F, E)),
-        "wo": dev(qw(E, E)),
-        "w2": dev(qw(E, F)),
-    }
-    return {
-        "tok_embeddings": jnp.asarray(_tiled_random((V, E)), dtype=compute_dtype),
-        "output_norm": jnp.ones(E, jnp.float32),
-        "lm_head": dev(qw(V, E)),
-        "layers": [dict(proto) for _ in range(L)],
-    }
+    def build_all():  # one program: see make_bench_params
+        proto = {
+            "attn_norm": jnp.ones(E, jnp.float32),
+            "ffn_norm": jnp.ones(E, jnp.float32),
+            "wqkv": dev(qw(3 * E, E)),
+            "w13": dev(qw(2 * F, E)),
+            "wo": dev(qw(E, E)),
+            "w2": dev(qw(E, F)),
+        }
+        return {
+            "tok_embeddings": jax.random.normal(jax.random.key(7), (V, E),
+                                                compute_dtype) * 0.02,
+            "output_norm": jnp.ones(E, jnp.float32),
+            "lm_head": dev(qw(V, E)),
+        }, proto
+
+    import jax
+
+    out, proto = jax.jit(build_all)()
+    out["layers"] = [dict(proto) for _ in range(L)]
+    return out

@@ -73,3 +73,41 @@ def test_fused_matmul_batched_lead_dims():
     got = np.asarray(fused_matmul(kq, x, jnp.float32, interpret=True))
     assert got.shape == (2, 3, O)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("gtype", KERNEL_TYPES, ids=lambda t: TYPE_TRAITS[t].name)
+def test_fast_kernel_quant_layout_matches(gtype):
+    """benchgen.fast_kernel_quant builds planes directly in kernel layout;
+    keys, shapes, dtypes and chunking must equal to_kernel's output so the
+    fused kernel consumes them identically (and benchmarks measure the same
+    bytes a real load produces)."""
+    from ggllm_tpu.utils.benchgen import fast_kernel_quant, random_quant_tensor
+
+    O, K = 16, 4544 if not layout.FORMATS[gtype].two_level else 4608
+    qt = random_quant_tensor(gtype, O, K)
+    kq_ref = layout.to_kernel(gtype, qt.planes, qt.shape)
+    kq_fast = fast_kernel_quant(gtype, O, K)
+
+    kq_dev = fast_kernel_quant(gtype, O, K, device=True)
+    for kq_fast in (kq_fast, kq_dev):
+        assert kq_fast.shape == kq_ref.shape and kq_fast.ck == kq_ref.ck
+        assert sorted(kq_fast.planes) == sorted(kq_ref.planes)
+        for k in kq_ref.planes:
+            assert kq_fast.planes[k].shape == kq_ref.planes[k].shape, k
+            assert kq_fast.planes[k].dtype == kq_ref.planes[k].dtype, k
+
+
+@pytest.mark.parametrize("gtype", [GGMLType.Q4_0, GGMLType.Q4_K],
+                         ids=lambda t: TYPE_TRAITS[t].name)
+def test_fast_kernel_quant_runs_through_kernel(gtype):
+    """The fast random planes must produce finite outputs through the fused
+    matmul (guards scale/code value ranges)."""
+    from ggllm_tpu.utils.benchgen import fast_kernel_quant
+
+    O, K = 32, 512
+    kq = fast_kernel_quant(gtype, O, K)
+    kq = layout.KernelQuant(kq.gtype, kq.shape, kq.ck,
+                            {k: jnp.asarray(v) for k, v in kq.planes.items()})
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, K)), jnp.float32)
+    y = np.asarray(fused_matmul(kq, x, jnp.float32, interpret=True))
+    assert np.isfinite(y).all() and y.shape == (2, O)
