@@ -99,21 +99,46 @@ def run_with_retries():
     timed out on such a window). One attempt hitting a bad window must not
     consume the whole outer budget — later attempts reuse the persistent
     compile cache, so a retry costs ~40 s when the tunnel recovers.
+
+    Children run in their own session (so a timed-out attempt's whole process
+    group can be killed by exact pgid) AND with PDEATHSIG=SIGKILL (so if THIS
+    process is killed by an outer timeout, the child dies too instead of
+    lingering as an orphan that holds the TPU and poisons the next run).
     """
+    import ctypes
+    import signal
     import subprocess
 
-    for budget in (150, 150, 210):
+    def _child_setup():
+        os.setsid()
+        PR_SET_PDEATHSIG = 1
+        try:
+            ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+                PR_SET_PDEATHSIG, signal.SIGKILL)
+        except OSError:
+            pass  # non-Linux: orphan risk accepted
+
+    def _drop_cache(reason):
+        # A killed attempt can leave a corrupt/partial cache entry behind, and
+        # a corrupt entry has been observed to HANG subsequent compiles (not
+        # just miss). Rotate the whole dir away so the next attempt recompiles
+        # from scratch (~40 s) instead of wedging.
+        if os.path.isdir(CACHE_DIR):
+            os.rename(CACHE_DIR, f"{CACHE_DIR}.dropped.{int(time.time())}")
+            print(f"dropped compile cache ({reason})", file=sys.stderr)
+
+    for attempt, budget in enumerate((150, 150, 210)):
+        if attempt:
+            _drop_cache("previous attempt failed")
         t0 = time.time()
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--once"],
             stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
-            start_new_session=True,
+            preexec_fn=_child_setup,
         )
         try:
             out, _ = proc.communicate(timeout=budget)
         except subprocess.TimeoutExpired:
-            import signal
-
             os.killpg(proc.pid, signal.SIGKILL)  # exact child pgid, not a pattern
             proc.wait()
             print(f"attempt timed out after {budget}s, retrying",
