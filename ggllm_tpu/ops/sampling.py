@@ -276,3 +276,52 @@ def sample(
     top_p(c, params.top_p, 1)
     temperature(c, params.temp)
     return sample_token(c, state.rng)
+
+
+def cascade_probs(
+    logits: np.ndarray,
+    last_tokens: list[int],
+    params: SamplerParams,
+    n_ctx: int = 2048,
+) -> np.ndarray:
+    """Full-vocab probability vector AFTER the sampling cascade (bias,
+    penalties, top-k/tfs/typical/top-p, temperature) but BEFORE the draw —
+    i.e. the modified distribution `sample()` draws from. Filtered tokens get
+    probability 0; greedy (temp<=0) returns a one-hot argmax.
+
+    This is the distribution speculative decoding needs for both the draft
+    proposal q and the target p (engine/speculative.py). Mirostat is
+    excluded: its truncation depends on the drawn token, so it does not
+    define a per-step distribution the accept/resample identity can use.
+    """
+    if params.mirostat:
+        raise ValueError("mirostat does not define a static per-step "
+                         "distribution; unsupported in speculative mode")
+    logits = np.asarray(logits, dtype=np.float32).reshape(-1).copy()
+    for tid, bias in params.logit_bias.items():
+        logits[tid] += bias
+
+    c = Candidates.from_logits(logits)
+    nl_logit = logits[NL_TOKEN] if logits.size > NL_TOKEN else 0.0
+    last_n = np.asarray(
+        last_tokens[-min(len(last_tokens), params.repeat_last_n, n_ctx):],
+        dtype=np.int32)
+    repetition_penalty(c, last_n, params.repeat_penalty)
+    frequency_presence_penalties(c, last_n, params.frequency_penalty,
+                                 params.presence_penalty)
+    if not params.penalize_nl and logits.size > NL_TOKEN:
+        c.logits[c.ids == NL_TOKEN] = nl_logit
+
+    out = np.zeros(logits.size, dtype=np.float32)
+    if params.temp <= 0:
+        c._sort()
+        out[c.ids[0]] = 1.0
+        return out
+    top_k(c, params.top_k, 1)
+    tail_free(c, params.tfs_z, 1)
+    typical(c, params.typical_p, 1)
+    top_p(c, params.top_p, 1)
+    temperature(c, params.temp)
+    softmax(c)
+    out[c.ids] = c.probs
+    return out

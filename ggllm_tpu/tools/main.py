@@ -183,10 +183,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         ("-ngl", {"type": int}), ("--gpu-layers", {"type": int}),
                         ("--main-gpu", {"type": int}),
                         ("--gpu-reserve-mb-main", {"type": int}),
+                        ("--gpu-reserve-mb-other", {"type": int}),
+                        ("--override-max-gpu", {"type": int}),
                         ("--mlock", {"action": "store_true"}),
                         ("--low-vram", {"action": "store_true"}),
                         ("--no-mmap", {"action": "store_true"})):
         ap.add_argument(flag, dest="_compat", help=argparse.SUPPRESS, **extra)
+    ap.add_argument("--alias", default=None,
+                    help="model display name in reports (falcon_common "
+                         "model_alias)")
+    ap.add_argument("--display-timings", dest="verbose_timings",
+                    action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--memory-f32", action="store_true",
                     help="store the KV cache in f32 (sets --kv-dtype float32)")
     ap.add_argument("--kv-dtype", default="bfloat16")
@@ -197,6 +204,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--decode-chunk", type=int, default=16,
                     help="tokens per device dispatch in the fused decode "
                          "loop (larger = faster, chunkier streaming)")
+    ap.add_argument("--draft-model", default=None, metavar="FNAME",
+                    help="speculative decoding: a smaller same-vocab model "
+                         "drafts tokens the main model verifies in batches; "
+                         "output is distributed exactly as without a draft "
+                         "(engine/speculative.py; not in the reference)")
+    ap.add_argument("--draft-k", type=int, default=6,
+                    help="draft tokens per speculative round")
     ap.add_argument("-ts", "--tensor-split", default="1", metavar="N|auto",
                     dest="mesh_model",
                     help="shard the model over N chips (the reference's "
@@ -304,6 +318,8 @@ def main(argv=None):
                                 progress=progress)
     engine = FalconEngine(mf.hparams, params, cfg, mesh=mesh)
     engine.timings.t_load_us = (time.time() - t0) * 1e6
+    if args.alias:
+        print(f"model alias: {args.alias}", file=sys.stderr)
     vocab = mf.vocab
     tk = tok_mod.for_model(mf)
 
@@ -400,6 +416,45 @@ def main(argv=None):
     # keep the whole prompt on context swap when requested (reference
     # falcon_main: n_keep < 0 or instruct mode -> full prompt)
     n_keep = len(prompt_ids) if (args.n_keep < 0 or args.instruct) else args.n_keep
+
+    if args.draft_model:
+        if args.interactive or args.instruct or args.prompt_cache:
+            print("error: --draft-model supports plain generation only "
+                  "(no interactive/instruct/session modes)", file=sys.stderr)
+            return 1
+        from ggllm_tpu.engine.speculative import SpeculativeDecoder
+
+        t0 = time.time()
+        dmf, dparams = load_model(args.draft_model, cfg)
+        draft = FalconEngine(dmf.hparams, dparams, cfg)
+        print(f"draft model loaded in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        spec = SpeculativeDecoder(engine, draft, k=args.draft_k)
+        ss = StopStream([s.encode() for s in stopwords],
+                        [a.encode() for a in args.reverse_prompt])
+        set_color(ANSI_PROMPT)
+        sys.stdout.buffer.write(prompt.encode())
+        sys.stdout.flush()
+        set_color(ANSI_RESET)
+
+        def on_tok(tok: int):
+            out = ss.push(vocab.id_to_token[tok])
+            if out:
+                sys.stdout.buffer.write(out)
+                sys.stdout.flush()
+            return not ss.stopped
+
+        spec.generate(prompt_ids, args.n_predict, sampler,
+                      stop_ids={tk.eos_id}, on_token=on_tok)
+        if not ss.stopped:
+            tail = ss.flush()
+            if tail:
+                sys.stdout.buffer.write(tail)
+                sys.stdout.flush()
+        print()
+        print(spec.stats.report(), file=sys.stderr)
+        print(engine.timings.report(), file=sys.stderr)
+        return 0
 
     # session reuse (--prompt-cache): skip matching prefix
     eval_ids = list(prompt_ids)

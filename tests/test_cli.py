@@ -100,6 +100,24 @@ def test_verbose_prompt_dump(tiny_model, capsysbinary):
     assert b"prompt:" in err and b"->" in err
 
 
+def test_draft_model_speculative(tiny_model, capsysbinary):
+    """--draft-model (self-draft with the same tiny file) must emit the
+    SAME text as plain greedy generation plus an acceptance report."""
+    run_cli(tiny_model, "-p", "the", "-n", "6")
+    plain = capsysbinary.readouterr().out
+    run_cli(tiny_model, "-p", "the", "-n", "6",
+            "--draft-model", tiny_model, "--draft-k", "3")
+    out = capsysbinary.readouterr()
+    assert out.out == plain
+    assert b"speculative:" in out.err and b"acceptance" in out.err
+
+
+def test_draft_model_rejects_interactive(tiny_model, capsysbinary):
+    rc = run_cli(tiny_model, "-p", "the", "-n", "2",
+                 "--draft-model", tiny_model, "--interactive")
+    assert rc == 1
+
+
 def test_compat_flags_accepted(tiny_model, capsysbinary):
     run_cli(tiny_model, "-p", "the", "-n", "2", "-t", "8", "-ngl", "100",
             "--mlock", "--no-mmap", "--main-gpu", "0")

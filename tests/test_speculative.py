@@ -1,0 +1,159 @@
+"""Speculative decoding: exact-output guarantees and KV bookkeeping.
+
+The committed stream must be distributed exactly as target-only sampling —
+for greedy that means BIT-IDENTICAL tokens whatever the draft proposes
+(good, bad, or truncated); for stochastic sampling the accept/resample
+helpers must reproduce p regardless of q (statistical check).
+"""
+
+import numpy as np
+import pytest
+
+from ggllm_tpu.core.config import EngineConfig, FalconHParams
+from ggllm_tpu.core.dtypes import GGMLType
+from ggllm_tpu.engine.engine import FalconEngine
+from ggllm_tpu.engine.speculative import (
+    SpeculativeDecoder, spec_accept, spec_resample, truncate_params)
+from ggllm_tpu.io.ggcc import read_model
+from ggllm_tpu.io.loader import load_params
+from ggllm_tpu.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory):
+    from ggllm_tpu.utils.synthetic import write_tiny_model
+
+    d = tmp_path_factory.mktemp("spec")
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32")
+    out = {}
+    for name, seed in (("target", 3), ("other", 11)):
+        path = str(d / f"{name}.ggcc")
+        hp = FalconHParams.tiny()
+        write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=seed)
+        mf = read_model(path)
+        out[name] = (mf, cfg)
+    return out
+
+
+def _make(engines, which):
+    mf, cfg = engines[which]
+    return FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+
+
+def _target_only_greedy(eng, prompt, sampler, n):
+    state = sampling.SamplerState.init(sampler)
+    logits = eng.eval(prompt)
+    last = list(prompt)
+    out = []
+    for _ in range(n):
+        tok = sampling.sample(logits, last, sampler, state, eng.cfg.n_ctx)
+        out.append(tok)
+        last.append(tok)
+        logits = eng.eval([tok])
+    return out
+
+
+PROMPT = [5, 9, 2, 14, 3]
+GREEDY = sampling.SamplerParams(temp=0.0)
+
+
+def test_greedy_matches_target_only_bad_draft(engines):
+    """Draft is a DIFFERENT random model: acceptance is poor, output must
+    still equal target-only greedy decode exactly."""
+    ref = _target_only_greedy(_make(engines, "target"), PROMPT, GREEDY, 24)
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=4)
+    out = spec.generate(PROMPT, 24, GREEDY)
+    assert out == ref
+    assert spec.stats.n_drafted > 0
+
+
+def test_greedy_matches_target_only_perfect_draft(engines):
+    """Draft == target: everything accepted, k+1 tokens per round."""
+    ref = _target_only_greedy(_make(engines, "target"), PROMPT, GREEDY, 20)
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "target"), k=4)
+    out = spec.generate(PROMPT, 20, GREEDY)
+    assert out == ref
+    assert spec.stats.acceptance == 1.0
+    assert spec.stats.n_rounds == 4  # 20 tokens / (k+1) per round
+
+
+def test_truncated_self_draft(engines):
+    """Depth-truncated view of the target's own params as the draft: shares
+    device buffers, still exact greedy output."""
+    mf, cfg = engines["target"]
+    params = load_params(mf, cfg)
+    target = FalconEngine(mf.hparams, params, cfg)
+    hp_d = FalconHParams.tiny()
+    hp_d.n_layer = 1
+    draft = FalconEngine(hp_d, truncate_params(params, 1), cfg)
+    ref = _target_only_greedy(_make(engines, "target"), PROMPT, GREEDY, 16)
+    spec = SpeculativeDecoder(target, draft, k=3)
+    assert spec.generate(PROMPT, 16, GREEDY) == ref
+
+
+def test_penalties_respected(engines):
+    """Cascade samplers (penalties active) must survive the spec path."""
+    sampler = sampling.SamplerParams(temp=0.0, repeat_penalty=1.3,
+                                     repeat_last_n=8)
+    ref = _target_only_greedy(_make(engines, "target"), PROMPT, sampler, 20)
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=4)
+    assert spec.generate(PROMPT, 20, sampler) == ref
+
+
+def test_kv_bookkeeping_consistent(engines):
+    """After a speculative run the target's KV/n_past must be equivalent to
+    having evaluated the committed stream directly: the next-step logits
+    must match a fresh engine's."""
+    target = _make(engines, "target")
+    spec = SpeculativeDecoder(target, _make(engines, "other"), k=4)
+    out = spec.generate(PROMPT, 12, GREEDY)
+    stream = PROMPT + out
+    assert target.n_past == len(stream) - 1
+    logits_spec = target.eval([stream[-1]])
+
+    fresh = _make(engines, "target")
+    logits_ref = fresh.eval(stream)
+    np.testing.assert_allclose(logits_spec, logits_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mirostat_rejected(engines):
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=2)
+    with pytest.raises(ValueError):
+        spec.generate(PROMPT, 4, sampling.SamplerParams(temp=0.8, mirostat=2))
+
+
+def test_accept_resample_identity():
+    """The rejection-sampling identity: draw x~q, accept w.p. min(1,p/q),
+    else resample from norm(max(p-q,0)) — the committed token is exactly
+    p-distributed for ANY q. Checked empirically on a small vocab."""
+    rng = np.random.default_rng(0)
+    V = 8
+    for trial in range(3):
+        p = rng.dirichlet(np.ones(V)).astype(np.float32)
+        q = rng.dirichlet(np.ones(V) * (0.3 + trial)).astype(np.float32)
+        n = 60_000
+        xs = rng.choice(V, size=n, p=q)
+        u = rng.random(n)
+        counts = np.zeros(V)
+        ratio = np.minimum(1.0, p / np.maximum(q, 1e-20))
+        for x, accept_u in zip(xs, u):
+            if accept_u < ratio[x]:
+                counts[x] += 1
+            else:
+                counts[spec_resample(p, q, rng, greedy=False)] += 1
+        emp = counts / n
+        assert np.abs(emp - p).max() < 0.015, (emp, p)
+
+
+def test_accept_helper_greedy():
+    p = np.array([0.1, 0.7, 0.2], np.float32)
+    q = np.array([0.5, 0.4, 0.1], np.float32)
+    rng = np.random.default_rng(0)
+    assert spec_accept(p, q, 1, rng, greedy=True)
+    assert not spec_accept(p, q, 0, rng, greedy=True)
+    assert spec_resample(p, q, rng, greedy=True) == 1
