@@ -8,6 +8,13 @@ The capability analogue of examples/server/server.cpp (:784-895 route table):
   POST /tokenize    — {"content": str} -> {"tokens": [int]}
   GET  /            — liveness/info JSON.
 
+OpenAI-compatible surface (beyond the reference, for drop-in clients):
+
+  POST /v1/completions       — text completion, incl. SSE streaming + [DONE]
+  POST /v1/chat/completions  — chat completion (role-tagged fallback template)
+  GET  /v1/models            — model listing
+  GET  /metrics              — Prometheus counters (requests/tokens)
+
 Like the reference (one llama_server_context, server.cpp:29), the server
 wraps ONE engine and serializes generation requests; prompt-prefix reuse
 (common_part, server.cpp:281-292) keeps the KV cache warm across turns by
@@ -208,10 +215,12 @@ class BatchedServerState:
     thread owns the engine; concurrent /completion requests decode TOGETHER
     in fused batched chunks instead of serializing behind a lock.
 
-    Sampler coverage per request: greedy/temp/top-k/top-p + repeat/frequency/
-    presence penalties (fixed 64-token window). tfs/typical/mirostat/
-    logit_bias requests are rejected with a clear error — use --parallel 1
-    for the full per-token cascade."""
+    Sampler coverage per request: the full per-row device cascade —
+    greedy/temp/top-k/top-p/tfs/typical, repeat/frequency/presence penalties
+    (fixed 64-token window), sparse logit bias (<= 64 entries, incl.
+    ignore_eos), and mirostat v1/v2 with per-row adaptive mu. Only
+    penalize_nl=false and top_k > the 64-candidate device cap still require
+    --parallel 1."""
 
     def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
                  chunk: int = 8, alias: str = "unknown"):
@@ -259,18 +268,10 @@ class BatchedServerState:
     @staticmethod
     def unsupported(body: dict) -> str | None:
         """Why this request can't run in batched mode (None = it can)."""
-        if int(body.get("mirostat", 0)):
-            return "mirostat requires --parallel 1"
-        if float(body.get("tfs_z", 1.0)) < 1.0:
-            return "tfs_z requires --parallel 1"
-        if float(body.get("typical_p", 1.0)) < 1.0:
-            return "typical_p requires --parallel 1"
-        if body.get("logit_bias"):
-            return "logit_bias requires --parallel 1"
-        if body.get("ignore_eos"):
-            return "ignore_eos requires --parallel 1"
         if not body.get("penalize_nl", True):
             return "penalize_nl=false requires --parallel 1"
+        if len(body.get("logit_bias", [])) > 64:
+            return "logit_bias is capped at 64 entries in batched mode"
         if float(body.get("temperature", 0.8)) > 0 and \
                 not (0 < int(body.get("top_k", 40)) <= 64):
             return "top_k must be in 1..64 in batched mode"
@@ -314,6 +315,10 @@ class BatchedServerState:
                 return False
             return True
 
+        logit_bias = {int(t): (float("-inf") if b is False else float(b))
+                      for t, b in body.get("logit_bias", [])}
+        if body.get("ignore_eos"):
+            logit_bias[eos] = float("-inf")
         req = Request(
             prompt_ids=prompt_ids, n_predict=n_predict,
             temp=float(body.get("temperature", 0.8)),
@@ -322,6 +327,12 @@ class BatchedServerState:
             repeat_penalty=float(body.get("repeat_penalty", 1.1)),
             frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             presence_penalty=float(body.get("presence_penalty", 0.0)),
+            tfs_z=float(body.get("tfs_z", 1.0)),
+            typical_p=float(body.get("typical_p", 1.0)),
+            mirostat=int(body.get("mirostat", 0)),
+            mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+            mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+            logit_bias=logit_bias,
             stream=stream,
         )
         req.on_done = lambda: q.put(None)
@@ -350,13 +361,14 @@ class BatchedServerState:
         out = b"".join(parts)
         n_out = len(req.out)
         # batched-mode settings echo: same schema as the single-stream path
-        # (the batched sampler covers a subset; unsupported knobs were
-        # rejected up front, so defaults here are accurate)
         gs_sampler = sampling.SamplerParams(
             temp=req.temp, top_p=req.top_p, top_k=req.top_k,
+            tfs_z=req.tfs_z, typical_p=req.typical_p,
             repeat_penalty=req.repeat_penalty,
             frequency_penalty=req.frequency_penalty,
             presence_penalty=req.presence_penalty,
+            mirostat=req.mirostat, mirostat_tau=req.mirostat_tau,
+            mirostat_eta=req.mirostat_eta, logit_bias=req.logit_bias,
             seed=int(body.get("seed", -1)))
         return {
             "content": "" if emit else out.decode("utf-8", "replace"),
@@ -376,6 +388,82 @@ class BatchedServerState:
                 "predicted_per_second": round(n_out / dt, 2) if dt > 0 else None,
             },
         }
+
+
+def _chat_to_prompt(messages: list[dict]) -> tuple[str, list[str]]:
+    """Minimal chat templating for /v1/chat/completions: role-tagged turns
+    with the assistant turn left open. Returns (prompt, extra stop strings).
+    Falcon instruction finetunes mostly train on User:/Assistant: style
+    turns (utils/finetune.py templates); this is the generic fallback."""
+    parts = []
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        if role == "system":
+            parts.append(f"{content}\n")
+        elif role == "assistant":
+            parts.append(f"Assistant: {content}\n")
+        else:
+            parts.append(f"User: {content}\n")
+    parts.append("Assistant:")
+    return "".join(parts), ["\nUser:"]
+
+
+def _openai_to_native(body: dict, chat: bool) -> dict:
+    """Translate an OpenAI-style request body to the native /completion
+    schema (the subset both schemas express)."""
+    if chat:
+        prompt, extra_stops = _chat_to_prompt(body.get("messages", []))
+    else:
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = "".join(prompt)
+        extra_stops = []
+    stop = body.get("stop") or []
+    if isinstance(stop, str):
+        stop = [stop]
+    native = {
+        "prompt": prompt,
+        "n_predict": int(body.get("max_tokens", 128)),
+        "temperature": float(body.get("temperature", 0.8)),
+        "top_p": float(body.get("top_p", 0.95)),
+        "stop": list(stop) + extra_stops,
+        "frequency_penalty": float(body.get("frequency_penalty", 0.0)),
+        "presence_penalty": float(body.get("presence_penalty", 0.0)),
+        "seed": int(body.get("seed", -1)),
+        # OpenAI logit_bias is {"token_id": bias}; native is [[id, bias]]
+        "logit_bias": [[int(t), float(b)]
+                       for t, b in (body.get("logit_bias") or {}).items()],
+    }
+    if "top_k" in body:  # common extension
+        native["top_k"] = int(body["top_k"])
+    return native
+
+
+def _openai_response(final: dict, chat: bool, rid: int, model: str) -> dict:
+    finish = "length" if final.get("stopped_limit") else "stop"
+    text = final.get("content", "")
+    if chat:
+        choice = {"index": 0, "finish_reason": finish,
+                  "message": {"role": "assistant", "content": text}}
+        obj = "chat.completion"
+    else:
+        choice = {"index": 0, "finish_reason": finish, "logprobs": None,
+                  "text": text}
+        obj = "text_completion"
+    return {
+        "id": f"{'chatcmpl' if chat else 'cmpl'}-{rid}",
+        "object": obj,
+        "created": int(time.time()),
+        "model": model,
+        "choices": [choice],
+        "usage": {
+            "prompt_tokens": final.get("tokens_evaluated", 0),
+            "completion_tokens": final.get("tokens_predicted", 0),
+            "total_tokens": (final.get("tokens_evaluated", 0)
+                             + final.get("tokens_predicted", 0)),
+        },
+    }
 
 
 def make_handler(state: ServerState):
@@ -400,6 +488,30 @@ def make_handler(state: ServerState):
             return json.loads(raw or b"{}")
 
         def do_GET(self):
+            if self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": state.alias, "object": "model",
+                    "created": 0, "owned_by": "ggllm_tpu"}]})
+                return
+            if self.path == "/metrics":
+                # Prometheus text exposition (no reference analogue; the
+                # reference's observability is stderr tables, SURVEY §5.5)
+                m = getattr(state, "metrics", None) or {}
+                lines = []
+                for name, help_ in (
+                        ("requests_total", "Completed completion requests"),
+                        ("prompt_tokens_total", "Prompt tokens evaluated"),
+                        ("generated_tokens_total", "Tokens generated")):
+                    lines.append(f"# HELP ggllm_{name} {help_}")
+                    lines.append(f"# TYPE ggllm_{name} counter")
+                    lines.append(f"ggllm_{name} {m.get(name, 0)}")
+                data = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             if self.path == "/":
                 hp = state.engine.hp
                 mtype = (f"falcon-{hp.n_falcon_type}b"
@@ -431,35 +543,96 @@ def make_handler(state: ServerState):
                 self._json(200, {"content": text.decode("utf-8", "replace")})
                 return
             if self.path == "/completion":
-                batched = isinstance(state, BatchedServerState)
-                if batched:
-                    why = state.unsupported(body)
-                    if why is not None:
-                        self._json(400, {"error": why})
-                        return
-
-                def run(emit=None):
-                    if batched:  # concurrent: the scheduler thread batches
-                        return state.completion(body, emit=emit)
-                    with state.lock:
-                        return state.completion(body, emit=emit)
-
-                if body.get("stream"):
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/event-stream")
-                    self.send_header("Cache-Control", "no-cache")
-                    self.send_header("Connection", "close")
-                    self.end_headers()
-
-                    def emit(chunk):
-                        self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
-                        self.wfile.flush()
-
-                    emit(run(emit=emit))
-                    return
-                self._json(200, run())
+                self._run_completion(body, openai=None)
+                return
+            if self.path == "/v1/completions":
+                self._run_completion(_openai_to_native(body, chat=False),
+                                     openai="completion",
+                                     stream=bool(body.get("stream")))
+                return
+            if self.path == "/v1/chat/completions":
+                self._run_completion(_openai_to_native(body, chat=True),
+                                     openai="chat",
+                                     stream=bool(body.get("stream")))
                 return
             self._json(404, {"error": "not found"})
+
+        def _run_completion(self, body: dict, openai: str | None,
+                            stream: bool | None = None):
+            batched = isinstance(state, BatchedServerState)
+            if batched:
+                why = state.unsupported(body)
+                if why is not None:
+                    self._json(400, {"error": why})
+                    return
+            if stream is None:
+                stream = bool(body.get("stream"))
+            metrics = getattr(state, "metrics", None)
+            rid = (metrics or {}).get("requests_total", 0) + 1
+
+            def account(final):
+                if metrics is not None:
+                    metrics["requests_total"] += 1
+                    metrics["prompt_tokens_total"] += \
+                        final.get("tokens_evaluated", 0)
+                    metrics["generated_tokens_total"] += \
+                        final.get("tokens_predicted", 0)
+
+            def run(emit=None):
+                if batched:  # concurrent: the scheduler thread batches
+                    final = state.completion(body, emit=emit)
+                else:
+                    with state.lock:
+                        final = state.completion(body, emit=emit)
+                account(final)
+                return final
+
+            chat = openai == "chat"
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def send(obj):
+                    self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+
+                if openai is None:
+                    send(run(emit=send))
+                    return
+                # OpenAI streaming: per-token delta chunks + [DONE]
+                base = {"id": f"{'chatcmpl' if chat else 'cmpl'}-{rid}",
+                        "object": ("chat.completion.chunk" if chat
+                                   else "text_completion"),
+                        "created": int(time.time()), "model": state.alias}
+
+                def emit(chunk):
+                    text = chunk.get("content", "")
+                    if not text and chunk.get("stop"):
+                        return
+                    delta = ({"delta": {"content": text}} if chat
+                             else {"text": text, "logprobs": None})
+                    send({**base, "choices": [
+                        {"index": 0, "finish_reason": None, **delta}]})
+
+                final = run(emit=emit)
+                finish = "length" if final.get("stopped_limit") else "stop"
+                tail = ({"delta": {}} if chat else {"text": "",
+                                                    "logprobs": None})
+                send({**base, "choices": [
+                    {"index": 0, "finish_reason": finish, **tail}]})
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+                return
+            final = run()
+            if openai is None:
+                self._json(200, final)
+            else:
+                self._json(200, _openai_response(final, chat, rid,
+                                                 state.alias))
 
     return Handler
 
@@ -474,6 +647,8 @@ def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080
         state = BatchedServerState(engine, vocab, arch, chunk=chunk, alias=alias)
     else:
         state = ServerState(engine, vocab, arch, alias=alias)
+    state.metrics = {"requests_total": 0, "prompt_tokens_total": 0,
+                     "generated_tokens_total": 0}
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state
     return httpd

@@ -174,8 +174,22 @@ def test_batched_rejects_unsupported_sampler(batched_server):
 
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(batched_server, "/completion",
-              {"prompt": "x", "n_predict": 2, "mirostat": 2})
+              {"prompt": "x", "n_predict": 2, "penalize_nl": False})
     assert ei.value.code == 400
+
+
+def test_batched_full_cascade_accepted(batched_server):
+    """mirostat / tfs / typical / logit_bias / ignore_eos now run batched
+    (round-3 device cascade); the server must route them, not 400."""
+    for extra in ({"mirostat": 2, "seed": 5},
+                  {"tfs_z": 0.9, "typical_p": 0.9, "seed": 5},
+                  {"logit_bias": [[5, False], [7, 2.0]], "ignore_eos": True,
+                   "temperature": 0.0}):
+        out = _post(batched_server, "/completion",
+                    {"prompt": "ab", "n_predict": 4, **extra})
+        assert out["stop"] is True
+        assert out["tokens_predicted"] >= 1
+        assert out["stopped_eos"] is False
 
 
 def test_batched_streaming(batched_server):
@@ -192,6 +206,65 @@ def test_batched_streaming(batched_server):
             if line.startswith(b"data: "):
                 chunks.append(json.loads(line[6:]))
     assert chunks and chunks[-1]["stop"] is True
+
+
+def test_openai_completions(server):
+    """OpenAI-compatible /v1/completions: schema + usage accounting."""
+    out = _post(server, "/v1/completions",
+                {"prompt": "ab", "max_tokens": 4, "temperature": 0.0})
+    assert out["object"] == "text_completion"
+    c = out["choices"][0]
+    assert c["index"] == 0 and c["finish_reason"] == "length"
+    assert isinstance(c["text"], str)
+    u = out["usage"]
+    assert u["completion_tokens"] >= 1
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    # matches the native endpoint's greedy output
+    native = _post(server, "/completion",
+                   {"prompt": "ab", "n_predict": 4, "temperature": 0.0})
+    assert c["text"] == native["content"]
+
+
+def test_openai_chat_completions(server):
+    out = _post(server, "/v1/chat/completions",
+                {"messages": [{"role": "system", "content": "be brief"},
+                              {"role": "user", "content": "hi"}],
+                 "max_tokens": 4, "temperature": 0.0})
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+
+def test_openai_streaming(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "ab", "max_tokens": 4,
+                         "temperature": 0.0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line == b"data: [DONE]":
+                done = True
+            elif line.startswith(b"data: "):
+                chunks.append(json.loads(line[6:]))
+    assert done
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    text = "".join(c["choices"][0].get("text", "") for c in chunks)
+    native = _post(server, "/completion",
+                   {"prompt": "ab", "n_predict": 4, "temperature": 0.0})
+    assert text == native["content"]
+
+
+def test_openai_models_and_metrics(server):
+    with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
+        models = json.loads(r.read())
+    assert models["object"] == "list" and models["data"]
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        body = r.read().decode()
+    assert "ggllm_requests_total" in body
+    assert "# TYPE ggllm_generated_tokens_total counter" in body
 
 
 def test_completion_reference_fields(server):
