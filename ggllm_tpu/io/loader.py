@@ -192,7 +192,7 @@ def _progress(cb, i: int, n: int, what: str):
         cb(i / max(n, 1), what)
 
 
-def _parallel_layers(build, n_layer: int, progress=None) -> list:
+def _parallel_layers(build, n_layer: int, progress=None, on_item=None) -> list:
     """Run the per-layer load+repack across worker threads.
 
     The repack (kernels/layout.to_kernel — bit-plane extraction and
@@ -212,6 +212,8 @@ def _parallel_layers(build, n_layer: int, progress=None) -> list:
         for i in range(n_layer):
             _progress(progress, i, n_layer, f"layer {i}/{n_layer}")
             out.append(build(i))
+            if on_item is not None:
+                on_item(i, out[-1])
         return out
     done = 0
     with ThreadPoolExecutor(workers) as ex:
@@ -219,19 +221,23 @@ def _parallel_layers(build, n_layer: int, progress=None) -> list:
         out = []
         for i, f in enumerate(futs):
             out.append(f.result())
+            if on_item is not None:
+                on_item(i, out[-1])
             done += 1
             _progress(progress, done, n_layer, f"layer {done}/{n_layer}")
     return out
 
 
 def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
-                       lora, dtype, progress=None) -> dict:
+                       lora, dtype, progress=None, host_arrays: bool = False,
+                       on_layer=None) -> dict:
     hp = mf.hparams
     mode = cfg.weight_mode
+    wrap = (lambda a: a) if host_arrays else jnp.asarray
     params: dict = {
-        "tok_embeddings": jnp.asarray(
+        "tok_embeddings": wrap(
             mf.tensor_f32("tok_embeddings.weight").astype(dtype)),
-        "output_norm": jnp.asarray(mf.tensor_f32("norm.weight")),
+        "output_norm": wrap(mf.tensor_f32("norm.weight")),
         "lm_head": _to_kernel(_load_matrix(mf, "output.weight", mode, dtype, lora))
         if kernel else _load_matrix(mf, "output.weight", mode, dtype, lora),
     }
@@ -280,9 +286,11 @@ def _load_llama_params(mf: ModelFile, cfg: EngineConfig, kernel: bool,
             lw.update(mats)
         return lw
 
-    layers = _parallel_layers(build_layer, hp.n_layer, progress)
+    layers = _parallel_layers(build_layer, hp.n_layer, progress,
+                              on_item=on_layer if kernel else None)
     if kernel:
-        params["layers"] = [jax.tree.map(jnp.asarray, lw) for lw in layers]
+        params["layers"] = (layers if host_arrays else
+                            [jax.tree.map(jnp.asarray, lw) for lw in layers])
     else:
         params["layers"] = _stack(layers)
     return params
@@ -408,6 +416,8 @@ def load_params(
     lora=None,
     lora_base=None,
     progress=None,
+    host_arrays: bool = False,
+    on_layer=None,
 ) -> dict:
     """Build the parameter pytree from a parsed model file.
 
@@ -417,6 +427,9 @@ def load_params(
     tensors serve as the base for LoRA-patched weights (--lora-base).
     progress: optional callback(fraction, description) invoked while layers
     load (falcon_progress_callback analogue, libfalcon.h:77).
+    host_arrays: leave leaves as plain numpy instead of committing them to
+    a jax device — the cacheable cold-load path wants a host tree it can
+    stream to BOTH the sidecar cache and the device without extra copies.
     """
     cfg = cfg or EngineConfig()
     hp = mf.hparams
@@ -465,7 +478,8 @@ def load_params(
                     "mp | n_head, no LoRA, no data axis)")
             return tp_params
         return _load_llama_params(mf, cfg, kernel, lora, dtype,
-                                  progress=progress)
+                                  progress=progress, host_arrays=host_arrays,
+                                  on_layer=on_layer)
     if (mesh is not None and mode == "fused" and cfg.kernel_layout is not False):
         tp_params = _try_load_falcon_tp(mf, cfg, mesh, lora, dtype)
         if tp_params is not None:
@@ -482,13 +496,14 @@ def load_params(
     def layer_mode(key: str) -> str:
         return "dequant" if key in dense_keys else mode
 
+    wrap = (lambda a: a) if host_arrays else jnp.asarray
     params: dict = {
         # embeddings stay dense: get_rows needs random row access
-        "tok_embeddings": jnp.asarray(
+        "tok_embeddings": wrap(
             mf.tensor_f32("transformer.word_embeddings.weight").astype(dtype)
         ),
-        "output_norm": jnp.asarray(mf.tensor_f32("transformer.ln_f.weight")),
-        "output_norm_b": jnp.asarray(mf.tensor_f32("transformer.ln_f.bias")),
+        "output_norm": wrap(mf.tensor_f32("transformer.ln_f.weight")),
+        "output_norm_b": wrap(mf.tensor_f32("transformer.ln_f.bias")),
         "lm_head": conv(_load_matrix(mf, "lm_head.weight", mode, dtype, lora)),
     }
 
@@ -512,12 +527,14 @@ def load_params(
                 lw[key] = _load_matrix(mf, names[key], layer_mode(key), dtype, lora)
         return lw
 
-    layers = _parallel_layers(build_layer, hp.n_layer, progress)
+    layers = _parallel_layers(build_layer, hp.n_layer, progress,
+                              on_item=on_layer if kernel else None)
 
     if kernel:
         # keep layers unstacked: the unrolled decode loop feeds each layer's
         # buffers straight to the Pallas kernels (no scan slice copies)
-        params["layers"] = [jax.tree.map(jnp.asarray, lw) for lw in layers]
+        params["layers"] = (layers if host_arrays else
+                            [jax.tree.map(jnp.asarray, lw) for lw in layers])
     else:
         params["layers"] = _stack(layers)
     return params
@@ -557,16 +574,50 @@ def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
             return mf, jax.device_put(host, jax.devices()[0])
         cpu = _host_cpu_device()
         if cpu is not None:
+            import threading
+
+            d0 = jax.devices()[0]
+            # per-layer pipelined upload: transfers on this platform are
+            # async (enqueue-and-return), so uploading each layer as its
+            # repack completes streams the weights to the device UNDER the
+            # remaining host work instead of after it
+            dev_layers: list = []
+
+            def on_layer(i, lw):
+                dev_layers.append(jax.device_put(lw, d0))
+
+            # numpy host tree: zero extra copies into either consumer, and
+            # any stray jnp op stays on the CPU device
             with jax.default_device(cpu):
-                params = load_params(mf, cfg, progress=progress)
-            try:
-                param_cache.save(path, params, fp)
-            except OSError as e:
+                params = load_params(mf, cfg, progress=progress,
+                                     host_arrays=True, on_layer=on_layer)
+            # overlap the two 5-GB streams: the sidecar-cache disk write and
+            # the device upload both only READ the host tree (disk I/O
+            # releases the GIL, the upload is DMA), so running them
+            # concurrently hides the shorter under the longer
+            save_err: list[OSError] = []
+
+            def _save():
+                try:
+                    param_cache.save(path, params, fp)
+                except OSError as e:
+                    save_err.append(e)
+
+            t = threading.Thread(target=_save, daemon=True)
+            t.start()
+            if len(dev_layers) == len(params.get("layers", [])) and dev_layers:
+                rest = {k: v for k, v in params.items() if k != "layers"}
+                dev = jax.device_put(rest, d0)
+                dev["layers"] = dev_layers
+            else:  # stacked/llama-TP trees: no per-layer hook fired
+                dev = jax.device_put(params, d0)
+            t.join()
+            if save_err:
                 import warnings
 
-                warnings.warn(f"param cache write failed: {e}")
+                warnings.warn(f"param cache write failed: {save_err[0]}")
             _progress(progress, 1, 1, "done")
-            return mf, jax.device_put(params, jax.devices()[0])
+            return mf, dev
     params = load_params(mf, cfg, mesh=mesh, lora=lora, lora_base=lora_base,
                          progress=progress)
     _progress(progress, 1, 1, "done")

@@ -149,7 +149,14 @@ def save(model_path: str, params, fingerprint: dict,
             if aligned != offset:
                 f.write(b"\0" * (aligned - offset))
                 offset = aligned
-            f.write(arr.tobytes())
+            # zero-copy write: tobytes() would duplicate every payload
+            # (gigabytes) before it hits the disk buffer; a uint8 view
+            # exposes the raw buffer directly (extension dtypes like
+            # bfloat16 have no stable memoryview format, uint8 always does)
+            if arr.ndim:
+                f.write(arr.view(np.uint8).reshape(-1).data)
+            else:
+                f.write(arr.tobytes())
             offset += arr.nbytes
         del base
     os.replace(tmp, path)

@@ -27,13 +27,14 @@ from ggllm_tpu.core.dtypes import GGMLType
 from ggllm_tpu.engine.engine import FalconEngine
 from ggllm_tpu.utils.benchgen import make_bench_params
 
-args = [a for a in sys.argv[1:] if a != "--profile"]
+KV = "int8" if "--kv-int8" in sys.argv else "bfloat16"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
 B = int(args[0]) if args else 8
 CHUNK = int(args[1]) if len(args) > 1 else 64
 PROFILE = "--profile" in sys.argv
 
 hp = FalconHParams.falcon7b()
-cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype="bfloat16",
+cfg = EngineConfig(n_ctx=2048, n_batch=512, kv_dtype=KV,
                    compute_dtype="bfloat16", weight_mode="fused")
 
 t0 = time.time()
