@@ -28,6 +28,8 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--k", type=int, default=6)
 ap.add_argument("--draft-layers", type=int, default=4)
 ap.add_argument("--rounds", type=int, default=20)
+ap.add_argument("--block", type=int, default=4,
+                help="fused rounds per device dispatch")
 args = ap.parse_args()
 
 import jax
@@ -57,7 +59,8 @@ hp_d = FalconHParams.falcon7b()
 hp_d.n_layer = args.draft_layers
 draft = FalconEngine(hp_d, truncate_params(params, args.draft_layers), cfg)
 
-spec = SpeculativeDecoder(target, draft, k=args.k)
+spec = SpeculativeDecoder(target, draft, k=args.k,
+                          rounds_per_dispatch=args.block)
 GREEDY = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
 
 prompt = list(np.random.default_rng(0).integers(0, hp.n_vocab, 16))
@@ -73,7 +76,7 @@ out = spec.generate(prompt, args.rounds * (args.k + 1), GREEDY)
 dt = time.perf_counter() - t0
 st = spec.stats
 per_round = dt / st.n_rounds
-print(f"k={args.k} draft_layers={args.draft_layers}: "
+print(f"k={args.k} draft_layers={args.draft_layers} block={args.block}: "
       f"{st.n_rounds} rounds in {dt:.3f}s -> {per_round * 1e3:.2f} ms/round "
       f"(self-draft acceptance here: {100 * st.acceptance:.0f}%, "
       f"synthetic weights)")

@@ -104,12 +104,205 @@ class SpeculativeDecoder:
     history. `k` is the draft length per round (typical sweet spot 4-8:
     acceptance decays geometrically, verify cost grows sub-linearly)."""
 
-    def __init__(self, target, draft, k: int = 6):
+    def __init__(self, target, draft, k: int = 6,
+                 rounds_per_dispatch: int = 4):
         assert target.hp.n_vocab == draft.hp.n_vocab, "vocab mismatch"
-        assert k >= 1
+        assert k >= 1 and rounds_per_dispatch >= 1
         self.target = target
         self.draft = draft
         self.k = k
+        self.rounds = rounds_per_dispatch
+        self._round_jit = None
+
+    # ------------------------------------------------- fused device rounds
+
+    def _fused_ok(self, sampler) -> bool:
+        """The single-dispatch device round covers greedy decoding with no
+        penalties/bias (then the cascade is a pure argmax on both sides);
+        everything else takes the host path. Host-orchestrated rounds pay
+        2(k+1) device round-trips — through a high-latency device link the
+        fused round is the difference between speculative decoding losing
+        and winning (measured: 455 ms vs ~25 ms per round at 7B)."""
+        return (sampler.temp <= 0
+                and sampler.repeat_penalty == 1.0
+                and sampler.frequency_penalty == 0.0
+                and sampler.presence_penalty == 0.0
+                and not sampler.logit_bias
+                and sampler.mirostat == 0
+                and self.target.mesh is None and self.draft.mesh is None
+                and self.target.batch == 1 and self.draft.batch == 1)
+
+    def _fused_round(self):
+        """R jitted speculative rounds per dispatch. Each round: k+1 draft
+        steps (chunk-deferred KV, the decode-loop scheme) + ONE target
+        verify forward over k+1 positions + greedy accept/commit; a
+        lax.scan chains R rounds so the per-dispatch host/tunnel overhead
+        amortizes (measured 34 -> ~21 ms/round at R=4, 7B geometry).
+
+        The draft runs k+1 steps (not k) so its cache always covers the
+        committed prefix even when all k drafts are accepted; the extra
+        emission is discarded. Rejected positions leave stale cache entries
+        beyond n_past, which attention masks by construction."""
+        if self._round_jit is not None:
+            return self._round_jit
+        import jax
+        import jax.numpy as jnp
+
+        from ggllm_tpu.models.falcon import merged_cache_view
+        from ggllm_tpu.ops import kvcache
+
+        tgt, dr, k = self.target, self.draft, self.k
+        R = self.rounds
+        t_fwd, t_st, inv_t = tgt._forward, tgt.st, tgt.inv_freq
+        d_fwd, d_st, inv_d = dr._forward, dr.st, dr.inv_freq
+        t_dtype, d_dtype = tgt.compute_dtype, dr.compute_dtype
+        d_kv_dtype = dr.cfg.kv_dtype
+        B = 1
+
+        def one_round(params_t, params_d, tok0, kv_t, kv_d, n_past):
+            kvd = kv_d[0] if isinstance(kv_d, tuple) else kv_d
+            Ld, _, _, _, KVd, Dd = kvd.shape
+            pdtype = d_dtype if d_kv_dtype == "int8" else kvd.dtype
+            pending0 = jnp.zeros((Ld, 2, B, k + 1, KVd, Dd), pdtype)
+            kvm = merged_cache_view(kv_d, d_st)
+
+            def body(carry, j):
+                tok, pending = carry
+                toks_b = jnp.full((B, 1), tok, jnp.int32)
+                logits, kv_new = d_fwd(
+                    params_d, toks_b, kv_d, n_past + j, inv_d, d_st,
+                    logits_all=False, compute_dtype=d_dtype, last_pos=0,
+                    unroll=True, pending=pending, n_pend=j, kv_merged=kvm)
+                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                pending = jax.lax.dynamic_update_slice(
+                    pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                return (nxt, pending), nxt
+
+            (_, pending), drafted = jax.lax.scan(
+                body, (tok0, pending0), jnp.arange(k + 1, dtype=jnp.int32))
+            kv_d2 = kvcache.write_all_layers(
+                kv_d, pending, jnp.broadcast_to(
+                    jnp.asarray(n_past, jnp.int32).reshape(-1), (B,)))
+            xs = drafted[:k]
+
+            seq = jnp.concatenate([tok0[None], xs]).astype(jnp.int32)
+            # pad the verify chunk to a prefill bucket (the flash kernel
+            # needs sublane-aligned S; pad positions write KV scratch past
+            # n_ctx exactly like engine._eval_chunk's padded prefill)
+            from ggllm_tpu.engine.engine import _bucket
+            P = _bucket(k + 1, 512)
+            seq_p = jnp.pad(seq, (0, P - (k + 1)))
+            logits, kv_t2 = t_fwd(
+                params_t, seq_p[None, :], kv_t, n_past, inv_t, t_st,
+                logits_all=True, compute_dtype=t_dtype, last_pos=k)
+            rows = logits[0, : k + 1].astype(jnp.float32)  # (k+1, V)
+            pargmax = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+            # greedy accept: longest prefix where draft == target argmax,
+            # then the target's own token at the first divergence (or the
+            # bonus token after k accepts)
+            ok = jnp.cumprod((pargmax[:k] == xs).astype(jnp.int32))
+            n_acc = ok.sum()
+            idx = jnp.arange(k + 1)
+            xs_ext = jnp.concatenate([xs, xs[:1]])
+            toks_out = jnp.where(idx < n_acc, xs_ext, pargmax[n_acc])
+            return (toks_out, n_acc, kv_t2, kv_d2, n_past + n_acc + 1,
+                    pargmax[n_acc])
+
+        def block(params_t, params_d, tok0, kv_t, kv_d, n_past):
+            def body(carry, _):
+                tok, kv_t, kv_d, n_past = carry
+                toks, n_acc, kv_t, kv_d, n_past, tok = one_round(
+                    params_t, params_d, tok, kv_t, kv_d, n_past)
+                return (tok, kv_t, kv_d, n_past), (toks, n_acc)
+
+            (tok, kv_t, kv_d, n_past), (toks_r, n_acc_r) = jax.lax.scan(
+                body, (tok0, kv_t, kv_d, n_past), length=R)
+            return toks_r, n_acc_r, kv_t, kv_d, n_past, tok
+
+        self._round_jit = jax.jit(block, donate_argnums=(3, 4))
+        return self._round_jit
+
+    def _generate_fused(self, prompt_ids, n_predict, stop_ids, on_token,
+                        stats) -> list[int]:
+        import jax
+        import jax.numpy as jnp
+
+        tgt, dr, k = self.target, self.draft, self.k
+        history = list(prompt_ids)
+        if len(prompt_ids) > 1:
+            tgt.eval_tokens(prompt_ids[:-1])
+            dr.eval_tokens(prompt_ids[:-1])
+        rnd = self._fused_round()
+        tok = jax.device_put(jnp.int32(history[-1]))
+        n_past = jax.device_put(jnp.int32(tgt.n_past))
+        out: list[int] = []
+        import time as _time
+        t0 = _time.perf_counter()
+        warm = False
+        # 1-deep round pipelining: the next round's inputs (pending token,
+        # n_past, both KV caches) are all device-resident, so it dispatches
+        # BEFORE the previous round's (tokens, n_acc) are fetched — the
+        # host/tunnel round-trip overlaps device execution (the
+        # decode_pipelined scheme). Worst case one speculative round of
+        # device work is wasted at a stop boundary; stale KV is masked.
+        pending_fetch = None  # (toks_dev, n_acc_dev) of the previous round
+        stop = False
+
+        def consume(fetched):
+            """Commit one fetched BLOCK (R rounds) to the host stream."""
+            nonlocal stop
+            toks_h, n_acc_h = fetched
+            toks_h = np.asarray(toks_h)          # (R, k+1)
+            for r in range(toks_h.shape[0]):
+                n_acc = int(n_acc_h[r])
+                emitted = [int(t) for t in toks_h[r, : n_acc + 1]]
+                stats.n_rounds += 1
+                stats.n_drafted += k
+                stats.n_accepted += n_acc
+                stats.n_emitted += len(emitted)
+                tgt.n_past += n_acc + 1
+                dr.n_past += n_acc + 1
+                for t in emitted:
+                    out.append(t)
+                    history.append(t)
+                    if on_token is not None and on_token(t) is False:
+                        stop = True
+                    elif stop_ids and t in stop_ids:
+                        stop = True
+                    if len(out) >= n_predict:
+                        stop = True
+                    if stop:
+                        break
+                if stop:
+                    break
+
+        # guard against the in-flight + next block overrunning the context:
+        # tgt.n_past is the CONSUMED position; at most one unconsumed block
+        # (advance <= R(k+1)) is in flight when the next one dispatches
+        R = self.rounds
+        while not stop and tgt.n_past + 2 * R * (k + 1) <= tgt.cfg.n_ctx:
+            toks, n_acc, tgt.kv, dr.kv, n_past, tok = rnd(
+                tgt.params, dr.params, tok, tgt.kv, dr.kv, n_past)
+            if not warm:
+                warm = True
+                jax.block_until_ready(n_acc)
+                tgt.timings.t_compile_us += (_time.perf_counter() - t0) * 1e6
+                t0 = _time.perf_counter()
+            if pending_fetch is not None:
+                consume(jax.device_get(pending_fetch))
+            pending_fetch = (toks, n_acc)
+        if pending_fetch is not None and not stop:
+            consume(jax.device_get(pending_fetch))
+        # re-align engine state with the committed stream (drop any round
+        # overshoot past n_predict/stop; stale cache beyond is masked)
+        out = out[: n_predict]
+        n_final = len(prompt_ids) + len(out) - 1
+        tgt.rollback(min(tgt.n_past, n_final))
+        dr.rollback(min(dr.n_past, n_final))
+        dt = (_time.perf_counter() - t0) * 1e6
+        tgt.timings.t_decode_us += dt
+        tgt.timings.n_decode += len(out)
+        return out
 
     def generate(self, prompt_ids, n_predict: int,
                  sampler: sampling.SamplerParams | None = None,
@@ -126,6 +319,11 @@ class SpeculativeDecoder:
         prompt_ids = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
         assert prompt_ids, "speculative generation needs a prompt"
         stats = self.stats = SpecStats()
+        if (self._fused_ok(sampler)
+                and len(prompt_ids) - 1 + 2 * self.rounds * (self.k + 1)
+                <= n_ctx):
+            return self._generate_fused(prompt_ids, n_predict, stop_ids,
+                                        on_token, stats)
 
         # prefill both models on the prompt minus its last token; that last
         # token is the first pending token t0

@@ -120,6 +120,55 @@ def test_kv_bookkeeping_consistent(engines):
     np.testing.assert_allclose(logits_spec, logits_ref, rtol=2e-4, atol=2e-4)
 
 
+FUSED = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+
+
+def test_fused_round_matches_target_only(engines):
+    """Penalty-free greedy takes the single-dispatch device round; output
+    must still equal target-only greedy with a mismatched draft."""
+    ref = _target_only_greedy(_make(engines, "target"), PROMPT, FUSED, 24)
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=4)
+    assert spec._fused_ok(FUSED)
+    out = spec.generate(PROMPT, 24, FUSED)
+    assert out == ref
+    assert spec.stats.n_rounds > 0
+
+
+def test_fused_matches_host_path(engines):
+    """The fused device round and the host-orchestrated round must emit
+    identical streams (greedy, same models)."""
+    host = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=3)
+    host._fused_ok = lambda sampler: False  # force host rounds
+    ref = host.generate(PROMPT, 18, FUSED)
+    fused = SpeculativeDecoder(_make(engines, "target"),
+                               _make(engines, "other"), k=3)
+    assert fused.generate(PROMPT, 18, FUSED) == ref
+    # same drafts, same verdicts => identical acceptance accounting
+    assert fused.stats.n_accepted == host.stats.n_accepted
+
+
+def test_fused_perfect_draft_accepts_everything(engines):
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "target"), k=4)
+    out = spec.generate(PROMPT, 20, FUSED)
+    assert len(out) == 20
+    assert spec.stats.acceptance == 1.0
+
+
+def test_fused_kv_consistent(engines):
+    target = _make(engines, "target")
+    spec = SpeculativeDecoder(target, _make(engines, "other"), k=4)
+    out = spec.generate(PROMPT, 11, FUSED)
+    stream = PROMPT + out
+    assert target.n_past == len(stream) - 1
+    logits_spec = target.eval([stream[-1]])
+    fresh = _make(engines, "target")
+    logits_ref = fresh.eval(stream)
+    np.testing.assert_allclose(logits_spec, logits_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_mirostat_rejected(engines):
     spec = SpeculativeDecoder(_make(engines, "target"),
                               _make(engines, "other"), k=2)
