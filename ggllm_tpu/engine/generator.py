@@ -26,13 +26,16 @@ class Generator:
 
     def __init__(self, engine: FalconEngine, sampler: sampling.SamplerParams,
                  eos_id: int, n_keep: int = 0, fused_ok: bool = True,
-                 log=None):
+                 log=None, grammar=None):
         self.eng = engine
         self.sampler = sampler
         self.state = sampling.SamplerState.init(sampler)
         self.eos_id = eos_id
         self.n_keep = n_keep
-        self.fused = fused_ok and sampling_device.device_samplable(sampler)
+        self.grammar = grammar  # ops.grammar.GrammarSampler or None
+        # grammar masking is data-dependent per step -> host sampling path
+        self.fused = (fused_ok and grammar is None
+                      and sampling_device.device_samplable(sampler))
         self.rng = None
         self.log = log or (lambda msg: None)
         self.all_tokens: list[int] = []  # full prompt+generation history
@@ -74,6 +77,18 @@ class Generator:
         self.swapped = True
         self.log(f"context swap: kept {len(head)}+{len(tail)} tokens")
 
+    def _host_sample(self, logits) -> int:
+        """One host-cascade sample, grammar-masked when constrained
+        (llama.cpp ordering: grammar filter BEFORE the cascade, then the
+        committed token advances the grammar state)."""
+        if self.grammar is not None:
+            logits = self.grammar.filter_logits(logits)
+        tok = sampling.sample(logits, self.all_tokens, self.sampler,
+                              self.state, self.eng.cfg.n_ctx)
+        if self.grammar is not None:
+            self.grammar.accept(tok)
+        return tok
+
     def generate(self, logits, n_predict: int, on_token) -> str:
         """Sample up to n_predict tokens; on_token(tok) -> False to stop.
         Returns the stop reason ('limit' | 'eos' | 'callback')."""
@@ -95,8 +110,7 @@ class Generator:
         # first token after prefill is host-sampled from the prefill logits
         # (exact cascade; the fused loop samples the successors on device)
         t0 = time.perf_counter()
-        tok = sampling.sample(logits, self.all_tokens, sampler, self.state,
-                              eng.cfg.n_ctx)
+        tok = self._host_sample(logits)
         eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
         eng.timings.n_sample += 1
         try:
@@ -148,8 +162,7 @@ class Generator:
                 else:
                     new_logits = eng.eval([self.all_tokens[-1]])
                     t0 = time.perf_counter()
-                    tok = sampling.sample(new_logits, self.all_tokens, sampler,
-                                          self.state, eng.cfg.n_ctx)
+                    tok = self._host_sample(new_logits)
                     eng.timings.t_sample_us += (time.perf_counter() - t0) * 1e6
                     eng.timings.n_sample += 1
                     if not consume(tok):

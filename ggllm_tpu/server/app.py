@@ -5,6 +5,8 @@ The capability analogue of examples/server/server.cpp (:784-895 route table):
   POST /completion  — generate from a prompt; JSON body with the sampling
                       surface of llama_server_context; ``stream: true`` sends
                       SSE chunks (``data: {json}\n\n``), else one JSON object.
+                      ``grammar`` (GBNF text) constrains sampling
+                      (ops/grammar.py; --parallel 1 only).
   POST /tokenize    — {"content": str} -> {"tokens": [int]}
   GET  /            — liveness/info JSON.
 
@@ -153,7 +155,13 @@ class ServerState:
             n_common = 0
             to_eval = prompt_ids
 
-        gen = Generator(eng, sampler, self.tk.eos_id, n_keep)
+        grammar = None
+        if body.get("grammar"):
+            from ggllm_tpu.ops.grammar import GrammarSampler, parse_gbnf
+            grammar = GrammarSampler(parse_gbnf(body["grammar"]),
+                                     self.vocab.id_to_token, self.tk.eos_id)
+
+        gen = Generator(eng, sampler, self.tk.eos_id, n_keep, grammar=grammar)
         gen.all_tokens = list(prompt_ids[:n_common])
 
         t0 = time.perf_counter()
@@ -270,6 +278,8 @@ class BatchedServerState:
         """Why this request can't run in batched mode (None = it can)."""
         if not body.get("penalize_nl", True):
             return "penalize_nl=false requires --parallel 1"
+        if body.get("grammar"):
+            return "grammar-constrained sampling requires --parallel 1"
         if len(body.get("logit_bias", [])) > 64:
             return "logit_bias is capped at 64 entries in batched mode"
         if float(body.get("temperature", 0.8)) > 0 and \
@@ -564,6 +574,13 @@ def make_handler(state: ServerState):
                 why = state.unsupported(body)
                 if why is not None:
                     self._json(400, {"error": why})
+                    return
+            if body.get("grammar"):
+                from ggllm_tpu.ops.grammar import GrammarError, parse_gbnf
+                try:
+                    parse_gbnf(body["grammar"])
+                except GrammarError as e:
+                    self._json(400, {"error": f"bad grammar: {e}"})
                     return
             if stream is None:
                 stream = bool(body.get("stream"))

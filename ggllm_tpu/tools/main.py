@@ -16,6 +16,7 @@ per-token host cascade.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -211,6 +212,16 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(engine/speculative.py; not in the reference)")
     ap.add_argument("--draft-k", type=int, default=6,
                     help="draft tokens per speculative round")
+    ap.add_argument("--grammar", default="", metavar="GBNF",
+                    help="constrain generation to a GBNF grammar "
+                         "(llama.cpp grammar dialect; host sampling path)")
+    ap.add_argument("--grammar-file", default="", metavar="FNAME",
+                    help="read the GBNF grammar from a file")
+    ap.add_argument("--self-draft", type=int, default=0, metavar="N",
+                    help="speculative decoding with a depth-truncated view "
+                         "of the SAME model as the draft (its first N "
+                         "layers; the views alias the loaded weights, so no "
+                         "extra HBM beyond the draft's KV cache)")
     ap.add_argument("-ts", "--tensor-split", default="1", metavar="N|auto",
                     dest="mesh_model",
                     help="shard the model over N chips (the reference's "
@@ -417,18 +428,35 @@ def main(argv=None):
     # falcon_main: n_keep < 0 or instruct mode -> full prompt)
     n_keep = len(prompt_ids) if (args.n_keep < 0 or args.instruct) else args.n_keep
 
-    if args.draft_model:
+    if args.draft_model or args.self_draft:
         if args.interactive or args.instruct or args.prompt_cache:
-            print("error: --draft-model supports plain generation only "
-                  "(no interactive/instruct/session modes)", file=sys.stderr)
+            print("error: speculative decoding supports plain generation "
+                  "only (no interactive/instruct/session modes)",
+                  file=sys.stderr)
             return 1
-        from ggllm_tpu.engine.speculative import SpeculativeDecoder
+        if mesh is not None:
+            print("error: speculative decoding is single-chip "
+                  "(drop -ts/--tensor-split)", file=sys.stderr)
+            return 1
+        from ggllm_tpu.engine.speculative import (SpeculativeDecoder,
+                                                  truncate_params)
 
         t0 = time.time()
-        dmf, dparams = load_model(args.draft_model, cfg)
-        draft = FalconEngine(dmf.hparams, dparams, cfg)
-        print(f"draft model loaded in {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        if args.self_draft:
+            if not 0 < args.self_draft < mf.hparams.n_layer:
+                print(f"error: --self-draft must be in 1.."
+                      f"{mf.hparams.n_layer - 1}", file=sys.stderr)
+                return 1
+            dhp = dataclasses.replace(mf.hparams, n_layer=args.self_draft)
+            draft = FalconEngine(dhp, truncate_params(params, args.self_draft),
+                                 cfg)
+            print(f"self-draft: first {args.self_draft}/{mf.hparams.n_layer} "
+                  "layers (weights aliased)", file=sys.stderr)
+        else:
+            dmf, dparams = load_model(args.draft_model, cfg)
+            draft = FalconEngine(dmf.hparams, dparams, cfg)
+            print(f"draft model loaded in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
         spec = SpeculativeDecoder(engine, draft, k=args.draft_k)
         ss = StopStream([s.encode() for s in stopwords],
                         [a.encode() for a in args.reverse_prompt])
@@ -464,9 +492,20 @@ def main(argv=None):
         if reused:
             print(f"session: reused {reused} prompt tokens", file=sys.stderr)
 
+    grammar = None
+    if args.grammar or args.grammar_file:
+        from ggllm_tpu.ops.grammar import GrammarSampler, parse_gbnf
+        text = args.grammar
+        if args.grammar_file:
+            with open(args.grammar_file) as f:
+                text = f.read()
+        grammar = GrammarSampler(parse_gbnf(text), vocab.id_to_token,
+                                 tk.eos_id)
+
     gen = Generator(engine, sampler, tk.eos_id, n_keep,
                     fused_ok=not args.no_fused_decode,
-                    log=lambda m: print(f"\n[{m}]", file=sys.stderr))
+                    log=lambda m: print(f"\n[{m}]", file=sys.stderr),
+                    grammar=grammar)
     if args.prompt_cache:
         # restore rng/sampler state so a sampled continuation reproduces
         # (falcon_copy_state_data rng parity, libfalcon.cpp:4254)

@@ -112,6 +112,24 @@ def test_draft_model_speculative(tiny_model, capsysbinary):
     assert b"speculative:" in out.err and b"acceptance" in out.err
 
 
+def test_self_draft_speculative(tiny_model, capsysbinary):
+    """--self-draft N (depth-truncated alias of the loaded weights) must
+    emit the SAME text as plain greedy generation — no draft file needed."""
+    run_cli(tiny_model, "-p", "the", "-n", "6")
+    plain = capsysbinary.readouterr().out
+    run_cli(tiny_model, "-p", "the", "-n", "6",
+            "--self-draft", "1", "--draft-k", "3")
+    out = capsysbinary.readouterr()
+    assert out.out == plain
+    assert b"self-draft: first 1/" in out.err
+    assert b"speculative:" in out.err and b"acceptance" in out.err
+
+
+def test_self_draft_rejects_bad_depth(tiny_model, capsysbinary):
+    rc = run_cli(tiny_model, "-p", "the", "-n", "2", "--self-draft", "99")
+    assert rc == 1
+
+
 def test_draft_model_rejects_interactive(tiny_model, capsysbinary):
     rc = run_cli(tiny_model, "-p", "the", "-n", "2",
                  "--draft-model", tiny_model, "--interactive")

@@ -68,6 +68,22 @@ def test_completion_blocking(server):
     assert "content" in out and "timings" in out
 
 
+def test_completion_grammar(server):
+    out = _post(server, "/completion",
+                {"prompt": "the", "n_predict": 8, "temperature": 0,
+                 "grammar": 'root ::= [0-9]+'})
+    assert out["content"] and out["content"].isdigit()
+
+
+def test_completion_grammar_error(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/completion",
+              {"prompt": "the", "n_predict": 4, "grammar": "root ::= [z-a]"})
+    assert e.value.code == 400
+
+
 def test_completion_prefix_reuse(server):
     a = _post(server, "/completion",
               {"prompt": "abcd", "n_predict": 2, "temperature": 0.0})
@@ -175,6 +191,10 @@ def test_batched_rejects_unsupported_sampler(batched_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(batched_server, "/completion",
               {"prompt": "x", "n_predict": 2, "penalize_nl": False})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(batched_server, "/completion",
+              {"prompt": "x", "n_predict": 2, "grammar": 'root ::= [0-9]+'})
     assert ei.value.code == 400
 
 
