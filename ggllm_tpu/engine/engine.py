@@ -845,6 +845,60 @@ class FalconEngine:
             done += chunk.size
         return logits
 
+    def prefill_rows(self, rows, prompts, n_past_vec: np.ndarray) -> dict:
+        """Evaluate several rows' prompts in ONE batched forward (the
+        continuous-batching admission path). Each batched forward costs a
+        full B×bucket weight stream whether it prefills one row or all of
+        them, so per-request admission is B× more expensive than it needs
+        to be — measured 0.45 s/request at B=32 Falcon-7B, 71 s of a 77 s
+        serving run, before this batched path.
+
+        rows: batch-row index per prompt; prompts: token id arrays;
+        n_past_vec: per-row positions — admitted rows at their start (0),
+        other rows at live/parked positions (their in-flight writes land
+        beyond their n_past and are masked: the stale-cache invariant).
+        Returns {row: final-position logits (n_vocab,) float32}.
+        """
+        prompts = [np.asarray(p, dtype=np.int32).reshape(-1) for p in prompts]
+        npv = np.asarray(n_past_vec, dtype=np.int32).copy()
+        step = min(self.cfg.n_batch, PREFILL_BUCKETS[-1])
+        out: dict[int, np.ndarray] = {}
+        done = 0
+        maxlen = max(p.size for p in prompts)
+        while done < maxlen:
+            width = min(step, maxlen - done)
+            pad = _bucket(width, self.cfg.n_batch)
+            if self.sp_axis_size:
+                pad = max(pad, PREFILL_BUCKETS[0])
+            buf = np.zeros((self.batch, pad), dtype=np.int32)
+            last = np.zeros(self.batch, dtype=np.int32)
+            fetch, sizes = [], []
+            for row, p in zip(rows, prompts):
+                chunk = p[done : done + pad]
+                if chunk.size == 0:
+                    continue  # this row's prompt ended in an earlier chunk
+                buf[row, : chunk.size] = chunk
+                last[row] = chunk.size - 1
+                if done + chunk.size >= p.size:
+                    fetch.append(row)
+                sizes.append((row, chunk.size))
+            fwd = self._forward_rows_fn(pad)
+            t0 = time.perf_counter()
+            logits, kv = fwd(self.params, jnp.asarray(buf), self.kv,
+                             jnp.asarray(npv), jnp.asarray(last))
+            self.kv = kv
+            if fetch:  # device-side gather: ship only finishing rows' logits
+                got = self._fetch(logits[np.asarray(fetch), 0]) \
+                    .astype(np.float32)
+                for i, row in enumerate(fetch):
+                    out[row] = got[i]
+            self.timings.t_prefill_us += (time.perf_counter() - t0) * 1e6
+            for row, n in sizes:
+                npv[row] += n
+                self.timings.n_prefill += n
+            done += pad
+        return out
+
     def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int,
                         n_bias: int = 0, use_miro: bool = False):
         key = ("rowloop", n_steps, top_k, ring_len, n_bias, use_miro)

@@ -666,9 +666,17 @@ def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080
         state = ServerState(engine, vocab, arch, alias=alias)
     state.metrics = {"requests_total": 0, "prompt_tokens_total": 0,
                      "generated_tokens_total": 0}
-    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd = _Server((host, port), make_handler(state))
     httpd.state = state
     return httpd
+
+
+class _Server(ThreadingHTTPServer):
+    # the stdlib default listen backlog is 5: a burst of concurrent clients
+    # (the whole point of --parallel) overflows it and the kernel RSTs the
+    # excess connections. Size it for continuous-batching fan-in.
+    request_queue_size = 256
+    daemon_threads = True
 
 
 def main(argv=None):
