@@ -55,8 +55,10 @@ class SpecStats:
 
 def truncate_params(params, n_layers: int):
     """Depth-truncated view of a param tree: the first n_layers transformer
-    blocks with the embedding/final-norm/lm_head shared (no copy — the views
-    alias the same device buffers). A cheap self-drafting baseline when no
+    blocks with the embedding/final-norm/lm_head shared. In the unstacked
+    kernel layout the list slice aliases the same device buffers (no extra
+    HBM); in the scan layout the `a[:n_layers]` slices materialize device
+    copies of the kept layers. A cheap self-drafting baseline when no
     separate small model is on disk."""
     import jax
 

@@ -595,12 +595,15 @@ def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
             # the device upload both only READ the host tree (disk I/O
             # releases the GIL, the upload is DMA), so running them
             # concurrently hides the shorter under the longer
-            save_err: list[OSError] = []
+            save_err: list[BaseException] = []
 
             def _save():
+                # any failure (not just OSError — e.g. an unserializable
+                # leaf) must surface as a warning, not die silently in the
+                # daemon thread; param_cache.save unlinks its .tmp on error
                 try:
                     param_cache.save(path, params, fp)
-                except OSError as e:
+                except Exception as e:
                     save_err.append(e)
 
             t = threading.Thread(target=_save, daemon=True)

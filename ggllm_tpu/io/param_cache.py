@@ -138,28 +138,35 @@ def save(model_path: str, params, fingerprint: dict,
         "tree": skeleton,
     }).encode("utf-8")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(_MAGIC)
-        f.write(len(header).to_bytes(8, "little"))
-        f.write(header)
-        base = f.tell()
-        offset = 0
-        for arr in blobs:
-            aligned = (offset + _ALIGN - 1) // _ALIGN * _ALIGN
-            if aligned != offset:
-                f.write(b"\0" * (aligned - offset))
-                offset = aligned
-            # zero-copy write: tobytes() would duplicate every payload
-            # (gigabytes) before it hits the disk buffer; a uint8 view
-            # exposes the raw buffer directly (extension dtypes like
-            # bfloat16 have no stable memoryview format, uint8 always does)
-            if arr.ndim:
-                f.write(arr.view(np.uint8).reshape(-1).data)
-            else:
-                f.write(arr.tobytes())
-            offset += arr.nbytes
-        del base
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(_MAGIC)
+            f.write(len(header).to_bytes(8, "little"))
+            f.write(header)
+            base = f.tell()
+            offset = 0
+            for arr in blobs:
+                aligned = (offset + _ALIGN - 1) // _ALIGN * _ALIGN
+                if aligned != offset:
+                    f.write(b"\0" * (aligned - offset))
+                    offset = aligned
+                # zero-copy write: tobytes() would duplicate every payload
+                # (gigabytes) before it hits the disk buffer; a uint8 view
+                # exposes the raw buffer directly (extension dtypes like
+                # bfloat16 have no stable memoryview format, uint8 always does)
+                if arr.ndim:
+                    f.write(arr.view(np.uint8).reshape(-1).data)
+                else:
+                    f.write(arr.tobytes())
+                offset += arr.nbytes
+            del base
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 

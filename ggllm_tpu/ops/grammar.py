@@ -394,6 +394,21 @@ class _Trie:
         self.token_ids: list[int] = []
 
 
+def build_token_trie(pieces, eos_id: int):
+    """Byte trie over token pieces (GrammarSampler's token-walk index).
+    Depends only on the vocabulary — build once, share across samplers."""
+    root = _Trie()
+    for tid, piece in enumerate(pieces):
+        piece = bytes(piece)
+        if tid == eos_id or not piece:
+            continue  # empty pieces / EOS handled by completion rule
+        node = root
+        for b in piece:
+            node = node.children.setdefault(b, _Trie())
+        node.token_ids.append(tid)
+    return root
+
+
 class GrammarSampler:
     """Per-generation grammar state over a token vocabulary.
 
@@ -404,18 +419,16 @@ class GrammarSampler:
     any stack accepts is left to the codepoint check on completion — but a
     structurally invalid UTF-8 prefix is rejected immediately)."""
 
-    def __init__(self, grammar: Grammar, pieces, eos_id: int):
+    def __init__(self, grammar: Grammar, pieces, eos_id: int, trie=None):
         self.grammar = grammar
         self.pieces = [bytes(p) for p in pieces]
         self.eos_id = eos_id
-        self._trie = _Trie()
-        for tid, piece in enumerate(self.pieces):
-            if tid == eos_id or not piece:
-                continue  # empty pieces / EOS handled by completion rule
-            node = self._trie
-            for b in piece:
-                node = node.children.setdefault(b, _Trie())
-            node.token_ids.append(tid)
+        # the byte trie depends only on (pieces, eos_id), not the grammar —
+        # callers serving many requests over one vocab pass a shared trie
+        # (build_token_trie) instead of rebuilding the 65k-piece tree per
+        # request
+        self._trie = trie if trie is not None \
+            else build_token_trie(self.pieces, eos_id)
         self._mask_cache: dict = {}
         self.reset()
 

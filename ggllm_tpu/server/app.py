@@ -27,6 +27,7 @@ stop word split across tokens is never leaked.
 
 from __future__ import annotations
 
+import itertools
 import json
 import threading
 import time
@@ -90,6 +91,7 @@ class ServerState:
         self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
         self.lock = threading.Lock()
         self.cache_tokens: list[int] = []
+        self._grammar_trie = None  # lazily built, shared across requests
 
     # ------------------------------------------------------------ generate
 
@@ -157,9 +159,15 @@ class ServerState:
 
         grammar = None
         if body.get("grammar"):
-            from ggllm_tpu.ops.grammar import GrammarSampler, parse_gbnf
-            grammar = GrammarSampler(parse_gbnf(body["grammar"]),
-                                     self.vocab.id_to_token, self.tk.eos_id)
+            from ggllm_tpu.ops.grammar import (GrammarSampler,
+                                               build_token_trie, parse_gbnf)
+            if self._grammar_trie is None:
+                self._grammar_trie = build_token_trie(
+                    self.vocab.id_to_token, self.tk.eos_id)
+            # the handler already parsed the text for validation — reuse it
+            g = body.get("_grammar") or parse_gbnf(body["grammar"])
+            grammar = GrammarSampler(g, self.vocab.id_to_token,
+                                     self.tk.eos_id, trie=self._grammar_trie)
 
         gen = Generator(eng, sampler, self.tk.eos_id, n_keep, grammar=grammar)
         gen.all_tokens = list(prompt_ids[:n_common])
@@ -273,15 +281,22 @@ class BatchedServerState:
                     self._stop = True
                 raise e
 
-    @staticmethod
-    def unsupported(body: dict) -> str | None:
+    def unsupported(self, body: dict) -> str | None:
         """Why this request can't run in batched mode (None = it can)."""
         if not body.get("penalize_nl", True):
             return "penalize_nl=false requires --parallel 1"
         if body.get("grammar"):
             return "grammar-constrained sampling requires --parallel 1"
-        if len(body.get("logit_bias", [])) > 64:
-            return "logit_bias is capped at 64 entries in batched mode"
+        # count MERGED bias entries: ignore_eos adds a -inf bias on eos, so
+        # 64 explicit entries + ignore_eos would overflow the device arrays
+        # and silently drop one (the cap check must see what _bias_arrays
+        # will see)
+        bias_ids = {int(t) for t, _ in body.get("logit_bias", [])}
+        if body.get("ignore_eos"):
+            bias_ids.add(self.tk.eos_id)
+        if len(bias_ids) > 64:
+            return ("logit_bias is capped at 64 entries in batched mode "
+                    "(ignore_eos counts as one)")
         if float(body.get("temperature", 0.8)) > 0 and \
                 not (0 < int(body.get("top_k", 40)) <= 64):
             return "top_k must be in 1..64 in batched mode"
@@ -477,6 +492,13 @@ def _openai_response(final: dict, chat: bool, rid: int, model: str) -> dict:
 
 
 def make_handler(state: ServerState):
+    # handler threads are concurrent in batched mode: request ids come from
+    # an atomic counter and metrics updates take a lock (states built
+    # outside serve() get them here)
+    if not hasattr(state, "rid_counter"):
+        state.rid_counter = itertools.count(1)
+        state.metrics_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -578,22 +600,26 @@ def make_handler(state: ServerState):
             if body.get("grammar"):
                 from ggllm_tpu.ops.grammar import GrammarError, parse_gbnf
                 try:
-                    parse_gbnf(body["grammar"])
+                    body["_grammar"] = parse_gbnf(body["grammar"])
                 except GrammarError as e:
                     self._json(400, {"error": f"bad grammar: {e}"})
                     return
             if stream is None:
                 stream = bool(body.get("stream"))
             metrics = getattr(state, "metrics", None)
-            rid = (metrics or {}).get("requests_total", 0) + 1
+            # handler threads run concurrently in batched mode: rids come
+            # from an atomic counter and counter updates take the lock so
+            # no increment is lost
+            rid = next(state.rid_counter)
 
             def account(final):
                 if metrics is not None:
-                    metrics["requests_total"] += 1
-                    metrics["prompt_tokens_total"] += \
-                        final.get("tokens_evaluated", 0)
-                    metrics["generated_tokens_total"] += \
-                        final.get("tokens_predicted", 0)
+                    with state.metrics_lock:
+                        metrics["requests_total"] += 1
+                        metrics["prompt_tokens_total"] += \
+                            final.get("tokens_evaluated", 0)
+                        metrics["generated_tokens_total"] += \
+                            final.get("tokens_predicted", 0)
 
             def run(emit=None):
                 if batched:  # concurrent: the scheduler thread batches

@@ -220,8 +220,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--self-draft", type=int, default=0, metavar="N",
                     help="speculative decoding with a depth-truncated view "
                          "of the SAME model as the draft (its first N "
-                         "layers; the views alias the loaded weights, so no "
-                         "extra HBM beyond the draft's KV cache)")
+                         "layers; in the default kernel weight layout the "
+                         "views alias the loaded weights — scan-layout "
+                         "trees pay a sliced device copy of those layers)")
     ap.add_argument("-ts", "--tensor-split", default="1", metavar="N|auto",
                     dest="mesh_model",
                     help="shard the model over N chips (the reference's "
@@ -450,8 +451,10 @@ def main(argv=None):
             dhp = dataclasses.replace(mf.hparams, n_layer=args.self_draft)
             draft = FalconEngine(dhp, truncate_params(params, args.self_draft),
                                  cfg)
+            aliased = isinstance(params.get("layers"), (list, tuple))
             print(f"self-draft: first {args.self_draft}/{mf.hparams.n_layer} "
-                  "layers (weights aliased)", file=sys.stderr)
+                  f"layers ({'weights aliased' if aliased else 'layer copies'})",
+                  file=sys.stderr)
         else:
             dmf, dparams = load_model(args.draft_model, cfg)
             draft = FalconEngine(dmf.hparams, dparams, cfg)
