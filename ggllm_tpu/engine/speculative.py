@@ -114,44 +114,72 @@ class SpeculativeDecoder:
         self.draft = draft
         self.k = k
         self.rounds = rounds_per_dispatch
-        self._round_jit = None
+        self._round_jit: dict = {}  # static sampler spec -> jitted block
 
     # ------------------------------------------------- fused device rounds
 
     def _fused_ok(self, sampler) -> bool:
-        """The single-dispatch device round covers greedy decoding with no
-        penalties/bias (then the cascade is a pure argmax on both sides);
-        everything else takes the host path. Host-orchestrated rounds pay
-        2(k+1) device round-trips — through a high-latency device link the
-        fused round is the difference between speculative decoding losing
-        and winning (measured: 455 ms vs ~25 ms per round at 7B)."""
-        return (sampler.temp <= 0
-                and sampler.repeat_penalty == 1.0
+        """The single-dispatch device round covers greedy AND the stochastic
+        truncation cascade (temp/top-k/top-p/tfs/typical) with no
+        penalties/bias; mirostat and penalty configs take the host path.
+        Host-orchestrated rounds pay 2(k+1) device round-trips — through a
+        high-latency device link the fused round is the difference between
+        speculative decoding losing and winning (measured: 455 ms vs ~25 ms
+        per round at 7B). Stochastic rounds run the device sampler on BOTH
+        draft and target rows with on-device accept/resample (exact
+        rejection-sampling identity; truncations exact while the keep-set
+        stays within the top_k <= 1024 slice, as in batched serving)."""
+        if not (sampler.repeat_penalty == 1.0
                 and sampler.frequency_penalty == 0.0
                 and sampler.presence_penalty == 0.0
                 and not sampler.logit_bias
                 and sampler.mirostat == 0
                 and self.target.mesh is None and self.draft.mesh is None
-                and self.target.batch == 1 and self.draft.batch == 1)
+                and self.target.batch == 1 and self.draft.batch == 1):
+            return False
+        if sampler.temp <= 0:
+            return True
+        # stochastic: the device cascade needs a bounded descending slice
+        return 0 < sampler.top_k <= 1024
 
-    def _fused_round(self):
+    @staticmethod
+    def _sampler_spec(sampler) -> tuple:
+        """Static (hashable) spec of the cascade for the jit cache."""
+        if sampler.temp <= 0:
+            return ("greedy",)
+        return ("stoch", float(sampler.temp), float(sampler.top_p),
+                int(sampler.top_k), float(sampler.tfs_z),
+                float(sampler.typical_p))
+
+    def _fused_round(self, spec: tuple):
         """R jitted speculative rounds per dispatch. Each round: k+1 draft
         steps (chunk-deferred KV, the decode-loop scheme) + ONE target
-        verify forward over k+1 positions + greedy accept/commit; a
-        lax.scan chains R rounds so the per-dispatch host/tunnel overhead
-        amortizes (measured 34 -> ~21 ms/round at R=4, 7B geometry).
+        verify forward over k+1 positions + accept/commit; a lax.scan
+        chains R rounds so the per-dispatch host/tunnel overhead amortizes
+        (measured 34 -> ~21 ms/round at R=4, 7B geometry).
+
+        spec = ("greedy",): accept is the longest argmax-match prefix —
+        bit-identical to target-only greedy decode. spec = ("stoch", temp,
+        top_p, top_k, tfs_z, typical_p): both models' logits go through the
+        device cascade (ops/sampling_device.cascade_mask_probs), the draft
+        draws by inverse-CDF, and accept/resample run the Leviathan
+        identity on device — accept x~q w.p. min(1, p(x)/q(x)), else draw
+        from norm(max(p-q, 0)) — so the committed stream is distributed
+        exactly as target-only cascade sampling. Consumed uniforms are
+        returned per round ((R, 2k+2): k+1 draft, k accept, 1 resample) so
+        tests can replay the math on host.
 
         The draft runs k+1 steps (not k) so its cache always covers the
         committed prefix even when all k drafts are accepted; the extra
         emission is discarded. Rejected positions leave stale cache entries
         beyond n_past, which attention masks by construction."""
-        if self._round_jit is not None:
-            return self._round_jit
+        if spec in self._round_jit:
+            return self._round_jit[spec]
         import jax
         import jax.numpy as jnp
 
         from ggllm_tpu.models.falcon import merged_cache_view
-        from ggllm_tpu.ops import kvcache
+        from ggllm_tpu.ops import kvcache, sampling_device
 
         tgt, dr, k = self.target, self.draft, self.k
         R = self.rounds
@@ -160,8 +188,39 @@ class SpeculativeDecoder:
         t_dtype, d_dtype = tgt.compute_dtype, dr.compute_dtype
         d_kv_dtype = dr.cfg.kv_dtype
         B = 1
+        V = tgt.hp.n_vocab
+        greedy = spec[0] == "greedy"
+        if not greedy:
+            _, temp, top_p, top_k, tfs_z, typ_p = spec
+            K = min(max(top_k, 1), V)
+            t_a = jnp.full((1,), temp, jnp.float32)
+            p_a = jnp.full((1,), top_p, jnp.float32)
+            k_a = jnp.full((1,), K, jnp.int32)
+            tfs_a = jnp.full((1,), tfs_z, jnp.float32)
+            typ_a = jnp.full((1,), typ_p, jnp.float32)
 
-        def one_round(params_t, params_d, tok0, kv_t, kv_d, n_past):
+        def cascade_full(lg):
+            """(n, V) logits -> (n, V) post-cascade probabilities."""
+            n = lg.shape[0]
+            vals, idx = jax.lax.top_k(lg, K)
+            probs, _ = sampling_device.cascade_mask_probs(
+                vals, jnp.broadcast_to(t_a, (n,)), jnp.broadcast_to(p_a, (n,)),
+                jnp.broadcast_to(k_a, (n,)), jnp.broadcast_to(tfs_a, (n,)),
+                jnp.broadcast_to(typ_a, (n,)))
+            rows_i = jnp.arange(n, dtype=jnp.int32)[:, None]
+            return jnp.zeros((n, V), jnp.float32).at[rows_i, idx].set(probs)
+
+        def cdf_draw(dist, u):
+            """Inverse-CDF over a (V,) dist in token-id order (_draw
+            semantics: first index whose cumulative exceeds u*total,
+            clamped to the last positive entry)."""
+            cum = jnp.cumsum(dist)
+            sel = cum > u * cum[-1]
+            last = (V - 1) - jnp.argmax((dist > 0)[::-1])
+            return jnp.where(jnp.any(sel), jnp.argmax(sel), last).astype(
+                jnp.int32)
+
+        def one_round(params_t, params_d, tok0, kv_t, kv_d, n_past, key):
             kvd = kv_d[0] if isinstance(kv_d, tuple) else kv_d
             Ld, _, _, _, KVd, Dd = kvd.shape
             pdtype = d_dtype if d_kv_dtype == "int8" else kvd.dtype
@@ -169,19 +228,29 @@ class SpeculativeDecoder:
             kvm = merged_cache_view(kv_d, d_st)
 
             def body(carry, j):
-                tok, pending = carry
+                tok, pending, key = carry
                 toks_b = jnp.full((B, 1), tok, jnp.int32)
                 logits, kv_new = d_fwd(
                     params_d, toks_b, kv_d, n_past + j, inv_d, d_st,
                     logits_all=False, compute_dtype=d_dtype, last_pos=0,
                     unroll=True, pending=pending, n_pend=j, kv_merged=kvm)
-                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                lg = logits[0, 0].astype(jnp.float32)
+                if greedy:
+                    nxt = jnp.argmax(lg).astype(jnp.int32)
+                    q = jnp.zeros((0,), jnp.float32)  # unused
+                    u = jnp.float32(0)
+                else:
+                    key, sub = jax.random.split(key)
+                    u = jax.random.uniform(sub, ())
+                    q = cascade_full(lg[None])[0]
+                    nxt = cdf_draw(q, u)
                 pending = jax.lax.dynamic_update_slice(
                     pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
-                return (nxt, pending), nxt
+                return (nxt, pending, key), (nxt, q, u)
 
-            (_, pending), drafted = jax.lax.scan(
-                body, (tok0, pending0), jnp.arange(k + 1, dtype=jnp.int32))
+            (_, pending, key), (drafted, qs, u_draft) = jax.lax.scan(
+                body, (tok0, pending0, key),
+                jnp.arange(k + 1, dtype=jnp.int32))
             kv_d2 = kvcache.write_all_layers(
                 kv_d, pending, jnp.broadcast_to(
                     jnp.asarray(n_past, jnp.int32).reshape(-1), (B,)))
@@ -198,34 +267,60 @@ class SpeculativeDecoder:
                 params_t, seq_p[None, :], kv_t, n_past, inv_t, t_st,
                 logits_all=True, compute_dtype=t_dtype, last_pos=k)
             rows = logits[0, : k + 1].astype(jnp.float32)  # (k+1, V)
-            pargmax = jnp.argmax(rows, axis=-1).astype(jnp.int32)
-            # greedy accept: longest prefix where draft == target argmax,
-            # then the target's own token at the first divergence (or the
-            # bonus token after k accepts)
-            ok = jnp.cumprod((pargmax[:k] == xs).astype(jnp.int32))
-            n_acc = ok.sum()
-            idx = jnp.arange(k + 1)
+            idxr = jnp.arange(k + 1)
             xs_ext = jnp.concatenate([xs, xs[:1]])
-            toks_out = jnp.where(idx < n_acc, xs_ext, pargmax[n_acc])
-            return (toks_out, n_acc, kv_t2, kv_d2, n_past + n_acc + 1,
-                    pargmax[n_acc])
+            if greedy:
+                pargmax = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+                # greedy accept: longest prefix where draft == target
+                # argmax, then the target's own token at the first
+                # divergence (or the bonus token after k accepts)
+                ok = jnp.cumprod((pargmax[:k] == xs).astype(jnp.int32))
+                n_acc = ok.sum()
+                final = pargmax[n_acc]
+                us = jnp.zeros((2 * k + 2,), jnp.float32)
+            else:
+                pd = cascade_full(rows)  # (k+1, V) target cascade dists
+                key, sub = jax.random.split(key)
+                u_acc = jax.random.uniform(sub, (k,))
+                key, sub = jax.random.split(key)
+                u_fin = jax.random.uniform(sub, ())
+                ar = jnp.arange(k)
+                q_x = qs[ar, xs]
+                p_x = pd[ar, xs]
+                # accept w.p. min(1, p/q): u < p/q  <=>  u*q < p (q_x > 0
+                # by construction: x was drawn from q's kept set)
+                ok = jnp.cumprod((u_acc * q_x < p_x).astype(jnp.int32))
+                n_acc = ok.sum()
+                # resample from norm(max(p - q, 0)) at the reject position;
+                # after k accepts the bonus draw is from p alone (q := 0)
+                p_sel = pd[n_acc]
+                q_sel = qs[n_acc] * (n_acc < k)
+                resid = jnp.maximum(p_sel - q_sel, 0.0)
+                tot = resid.sum()
+                dist = jnp.where(tot > 0, resid / jnp.maximum(tot, 1e-38),
+                                 p_sel)
+                final = cdf_draw(dist, u_fin)
+                us = jnp.concatenate([u_draft, u_acc, u_fin[None]])
+            toks_out = jnp.where(idxr < n_acc, xs_ext, final)
+            return (toks_out, n_acc, us, kv_t2, kv_d2, n_past + n_acc + 1,
+                    final, key)
 
-        def block(params_t, params_d, tok0, kv_t, kv_d, n_past):
+        def block(params_t, params_d, tok0, kv_t, kv_d, n_past, key):
             def body(carry, _):
-                tok, kv_t, kv_d, n_past = carry
-                toks, n_acc, kv_t, kv_d, n_past, tok = one_round(
-                    params_t, params_d, tok, kv_t, kv_d, n_past)
-                return (tok, kv_t, kv_d, n_past), (toks, n_acc)
+                tok, kv_t, kv_d, n_past, key = carry
+                toks, n_acc, us, kv_t, kv_d, n_past, tok, key = one_round(
+                    params_t, params_d, tok, kv_t, kv_d, n_past, key)
+                return (tok, kv_t, kv_d, n_past, key), (toks, n_acc, us)
 
-            (tok, kv_t, kv_d, n_past), (toks_r, n_acc_r) = jax.lax.scan(
-                body, (tok0, kv_t, kv_d, n_past), length=R)
-            return toks_r, n_acc_r, kv_t, kv_d, n_past, tok
+            (tok, kv_t, kv_d, n_past, key), (toks_r, n_acc_r, us_r) = \
+                jax.lax.scan(body, (tok0, kv_t, kv_d, n_past, key), length=R)
+            return toks_r, n_acc_r, us_r, kv_t, kv_d, n_past, tok, key
 
-        self._round_jit = jax.jit(block, donate_argnums=(3, 4))
-        return self._round_jit
+        self._round_jit[spec] = jax.jit(block, donate_argnums=(3, 4))
+        return self._round_jit[spec]
 
     def _generate_fused(self, prompt_ids, n_predict, stop_ids, on_token,
-                        stats) -> list[int]:
+                        stats, sampler) -> list[int]:
         import jax
         import jax.numpy as jnp
 
@@ -234,10 +329,16 @@ class SpeculativeDecoder:
         if len(prompt_ids) > 1:
             tgt.eval_tokens(prompt_ids[:-1])
             dr.eval_tokens(prompt_ids[:-1])
-        rnd = self._fused_round()
+        rnd = self._fused_round(self._sampler_spec(sampler))
+        seed = sampler.seed if sampler.seed >= 0 else \
+            int.from_bytes(__import__("os").urandom(4), "little")
+        key = jax.random.PRNGKey(seed)
         tok = jax.device_put(jnp.int32(history[-1]))
         n_past = jax.device_put(jnp.int32(tgt.n_past))
         out: list[int] = []
+        # per CONSUMED round: (committed tokens, n_acc, uniforms) — lets
+        # tests replay the device accept/resample math on host
+        self.last_rounds: list[tuple[list[int], int, np.ndarray]] = []
         import time as _time
         t0 = _time.perf_counter()
         warm = False
@@ -247,17 +348,19 @@ class SpeculativeDecoder:
         # host/tunnel round-trip overlaps device execution (the
         # decode_pipelined scheme). Worst case one speculative round of
         # device work is wasted at a stop boundary; stale KV is masked.
-        pending_fetch = None  # (toks_dev, n_acc_dev) of the previous round
+        pending_fetch = None  # (toks, n_acc, us) of the previous block
         stop = False
 
         def consume(fetched):
             """Commit one fetched BLOCK (R rounds) to the host stream."""
             nonlocal stop
-            toks_h, n_acc_h = fetched
+            toks_h, n_acc_h, us_h = fetched
             toks_h = np.asarray(toks_h)          # (R, k+1)
+            us_h = np.asarray(us_h)              # (R, 2k+2)
             for r in range(toks_h.shape[0]):
                 n_acc = int(n_acc_h[r])
                 emitted = [int(t) for t in toks_h[r, : n_acc + 1]]
+                self.last_rounds.append((emitted, n_acc, us_h[r]))
                 stats.n_rounds += 1
                 stats.n_drafted += k
                 stats.n_accepted += n_acc
@@ -283,8 +386,8 @@ class SpeculativeDecoder:
         # (advance <= R(k+1)) is in flight when the next one dispatches
         R = self.rounds
         while not stop and tgt.n_past + 2 * R * (k + 1) <= tgt.cfg.n_ctx:
-            toks, n_acc, tgt.kv, dr.kv, n_past, tok = rnd(
-                tgt.params, dr.params, tok, tgt.kv, dr.kv, n_past)
+            toks, n_acc, us, tgt.kv, dr.kv, n_past, tok, key = rnd(
+                tgt.params, dr.params, tok, tgt.kv, dr.kv, n_past, key)
             if not warm:
                 warm = True
                 jax.block_until_ready(n_acc)
@@ -292,7 +395,7 @@ class SpeculativeDecoder:
                 t0 = _time.perf_counter()
             if pending_fetch is not None:
                 consume(jax.device_get(pending_fetch))
-            pending_fetch = (toks, n_acc)
+            pending_fetch = (toks, n_acc, us)
         if pending_fetch is not None and not stop:
             consume(jax.device_get(pending_fetch))
         # re-align engine state with the committed stream (drop any round
@@ -325,7 +428,7 @@ class SpeculativeDecoder:
                 and len(prompt_ids) - 1 + 2 * self.rounds * (self.k + 1)
                 <= n_ctx):
             return self._generate_fused(prompt_ids, n_predict, stop_ids,
-                                        on_token, stats)
+                                        on_token, stats, sampler)
 
         # prefill both models on the prompt minus its last token; that last
         # token is the first pending token t0

@@ -126,18 +126,16 @@ def _draw(probs: jnp.ndarray, mask: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.any(sel, axis=-1), first, last_kept).astype(jnp.int32)
 
 
-def cascade_rows(vals: jnp.ndarray, u: jnp.ndarray, temp: jnp.ndarray,
-                 top_p: jnp.ndarray, top_k_rows: jnp.ndarray,
-                 tfs_z: jnp.ndarray | None = None,
-                 typical_p: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Per-row sampling cascade over a descending top-k slice, mirroring the
-    host order exactly (falcon_main.cpp:946-986 via ops/sampling.sample):
-    top_k -> tail_free -> typical -> top_p -> temperature -> inverse-CDF.
-
-    vals (B, k) logits sorted descending (the static top-k slice);
-    u (B,) uniform draws; temp/top_p/top_k_rows/tfs_z/typical_p (B,).
-    temp[b] <= 0 -> rank 0 (greedy). Returns (B,) RANKS into the slice.
-    """
+def cascade_mask_probs(vals: jnp.ndarray, temp: jnp.ndarray,
+                       top_p: jnp.ndarray, top_k_rows: jnp.ndarray,
+                       tfs_z: jnp.ndarray | None = None,
+                       typical_p: jnp.ndarray | None = None
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The truncation+temperature stages of cascade_rows WITHOUT the draw:
+    returns (probs, mask) over the descending top-k slice, where probs is
+    the final temp-scaled masked softmax (dropped entries = 0). Speculative
+    decoding uses this to get the post-cascade distributions of both the
+    draft and the target for the accept/resample identity."""
     B, k = vals.shape
     rank = jnp.arange(k, dtype=jnp.int32)[None, :]
     mask = rank < jnp.maximum(top_k_rows, 1)[:, None]
@@ -195,6 +193,23 @@ def cascade_rows(vals: jnp.ndarray, u: jnp.ndarray, temp: jnp.ndarray,
 
     scaled = vals / jnp.maximum(temp, 1e-6)[:, None]
     probs = _masked_softmax(scaled, mask)
+    return probs, mask
+
+
+def cascade_rows(vals: jnp.ndarray, u: jnp.ndarray, temp: jnp.ndarray,
+                 top_p: jnp.ndarray, top_k_rows: jnp.ndarray,
+                 tfs_z: jnp.ndarray | None = None,
+                 typical_p: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-row sampling cascade over a descending top-k slice, mirroring the
+    host order exactly (falcon_main.cpp:946-986 via ops/sampling.sample):
+    top_k -> tail_free -> typical -> top_p -> temperature -> inverse-CDF.
+
+    vals (B, k) logits sorted descending (the static top-k slice);
+    u (B,) uniform draws; temp/top_p/top_k_rows/tfs_z/typical_p (B,).
+    temp[b] <= 0 -> rank 0 (greedy). Returns (B,) RANKS into the slice.
+    """
+    probs, mask = cascade_mask_probs(vals, temp, top_p, top_k_rows,
+                                     tfs_z, typical_p)
     choice = _draw(probs, mask, u)
     return jnp.where(temp <= 0.0, 0, choice)
 

@@ -206,3 +206,137 @@ def test_accept_helper_greedy():
     assert spec_accept(p, q, 1, rng, greedy=True)
     assert not spec_accept(p, q, 0, rng, greedy=True)
     assert spec_resample(p, q, rng, greedy=True) == 1
+
+
+# ---------------------------------------------- stochastic fused rounds
+
+STOCH = sampling.SamplerParams(temp=0.9, top_k=40, top_p=0.95,
+                               repeat_penalty=1.0, seed=7)
+
+
+def _replay_rounds(engines, prompt, sampler, rounds, k):
+    """Host mirror of the device stochastic round: same cascade
+    (ops/sampling.cascade_probs), same inverse-CDF draw order (logits
+    descending), same accept (u*q[x] < p[x]) and residual resample — driven
+    by the uniforms the device consumed. Returns the committed stream."""
+    tgt = _make(engines, "target")
+    dr = _make(engines, "other")
+    n_ctx = tgt.cfg.n_ctx
+    if len(prompt) > 1:
+        tgt.eval_tokens(prompt[:-1])
+        dr.eval_tokens(prompt[:-1])
+    t0 = prompt[-1]
+    out = []
+
+    def cdf_id_order(dist, u):
+        cum = np.cumsum(dist)
+        sel = cum > u * cum[-1]
+        if sel.any():
+            return int(np.argmax(sel))
+        return int(np.max(np.nonzero(dist > 0)[0]))
+
+    for _, _, us in rounds:
+        n0 = tgt.n_past
+        u_draft, u_acc, u_fin = us[: k + 1], us[k + 1: 2 * k + 1], us[-1]
+        xs, qs = [], []
+        x = t0
+        for j in range(k + 1):
+            lg = dr.eval_tokens([x])
+            q = sampling.cascade_probs(lg, [], sampler, n_ctx)
+            x = cdf_id_order(q, u_draft[j])
+            xs.append(x)
+            qs.append(q)
+        rows = tgt.eval_tokens([t0] + xs[:k], logits_all=True)
+        ps = [sampling.cascade_probs(rows[i], [], sampler, n_ctx)
+              for i in range(k + 1)]
+        n_acc = 0
+        for i in range(k):
+            if u_acc[i] * qs[i][xs[i]] < ps[i][xs[i]]:
+                n_acc += 1
+            else:
+                break
+        p_sel = ps[n_acc]
+        q_sel = qs[n_acc] if n_acc < k else np.zeros_like(p_sel)
+        resid = np.maximum(p_sel - q_sel, 0.0)
+        tot = float(resid.sum())
+        dist = resid / tot if tot > 0 else p_sel
+        final = cdf_id_order(dist, u_fin)
+        emitted = xs[:n_acc] + [final]
+        tgt.rollback(n0 + n_acc + 1)
+        dr.rollback(n0 + n_acc + 1)
+        out.extend(emitted)
+        t0 = final
+    return out
+
+
+def test_fused_stochastic_replay(engines):
+    """The fused stochastic round must be the exact device transcription of
+    the host accept/resample math: replaying the recorded uniforms through
+    host cascade_probs reproduces the committed stream token-for-token."""
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=3,
+                              rounds_per_dispatch=2)
+    assert spec._fused_ok(STOCH)
+    out = spec.generate(PROMPT, 16, STOCH)
+    assert spec.stats.n_rounds > 0 and len(out) > 0
+    rounds = spec.last_rounds
+    replay = _replay_rounds(engines, PROMPT, STOCH, rounds, k=3)
+    n = sum(len(e) for e, _, _ in rounds)
+    assert replay[:n] == [t for e, _, _ in rounds for t in e]
+
+
+def test_fused_stochastic_truncations_replay(engines):
+    """tfs + typical + top-p active in the fused stochastic round."""
+    samp = sampling.SamplerParams(temp=0.8, top_k=64, top_p=0.9, tfs_z=0.92,
+                                  typical_p=0.85, repeat_penalty=1.0, seed=13)
+    spec = SpeculativeDecoder(_make(engines, "target"),
+                              _make(engines, "other"), k=3,
+                              rounds_per_dispatch=2)
+    assert spec._fused_ok(samp)
+    out = spec.generate(PROMPT, 12, samp)
+    assert len(out) > 0
+    rounds = spec.last_rounds
+    replay = _replay_rounds(engines, PROMPT, samp, rounds, k=3)
+    n = sum(len(e) for e, _, _ in rounds)
+    assert replay[:n] == [t for e, _, _ in rounds for t in e]
+
+
+def test_fused_stochastic_kv_consistent(engines):
+    """After stochastic fused rounds the target KV equals having evaluated
+    the committed stream directly."""
+    target = _make(engines, "target")
+    spec = SpeculativeDecoder(target, _make(engines, "other"), k=4)
+    out = spec.generate(PROMPT, 11, STOCH)
+    stream = PROMPT + out
+    assert target.n_past == len(stream) - 1
+    logits_spec = target.eval([stream[-1]])
+    fresh = _make(engines, "target")
+    logits_ref = fresh.eval(stream)
+    np.testing.assert_allclose(logits_spec, logits_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stochastic_first_token_distribution(engines):
+    """The identity end-to-end on device: over many seeds, the FIRST
+    committed token's empirical distribution must match the target's
+    cascade distribution p (regardless of the mismatched draft q)."""
+    sampler = sampling.SamplerParams(temp=1.2, top_k=8, top_p=1.0,
+                                     repeat_penalty=1.0)
+    tgt = _make(engines, "target")
+    dr = _make(engines, "other")
+    ref = _make(engines, "target")
+    p = sampling.cascade_probs(ref.eval(PROMPT), [], sampler, ref.cfg.n_ctx)
+    spec = SpeculativeDecoder(tgt, dr, k=2, rounds_per_dispatch=1)
+    counts: dict[int, int] = {}
+    n = 400
+    for s in range(n):
+        tgt.reset()
+        dr.reset()
+        out = spec.generate(
+            PROMPT, 3,
+            sampling.SamplerParams(temp=1.2, top_k=8, top_p=1.0,
+                                   repeat_penalty=1.0, seed=1000 + s))
+        counts[out[0]] = counts.get(out[0], 0) + 1
+    kept = np.nonzero(p > 0)[0]
+    assert set(counts) <= set(int(t) for t in kept)
+    emp = np.array([counts.get(int(t), 0) / n for t in kept])
+    assert np.abs(emp - p[kept]).max() < 0.08, (emp, p[kept])
