@@ -30,6 +30,9 @@ ap.add_argument("--draft-layers", type=int, default=4)
 ap.add_argument("--rounds", type=int, default=20)
 ap.add_argument("--block", type=int, default=4,
                 help="fused rounds per device dispatch")
+ap.add_argument("--temp", type=float, default=0.0,
+                help="temp > 0 measures the STOCHASTIC fused round "
+                     "(device cascade + accept/resample) instead of greedy")
 args = ap.parse_args()
 
 import jax
@@ -61,22 +64,26 @@ draft = FalconEngine(hp_d, truncate_params(params, args.draft_layers), cfg)
 
 spec = SpeculativeDecoder(target, draft, k=args.k,
                           rounds_per_dispatch=args.block)
-GREEDY = sampling.SamplerParams(temp=0.0, repeat_penalty=1.0)
+SAMPLER = sampling.SamplerParams(temp=args.temp, top_k=40, top_p=0.95,
+                                 repeat_penalty=1.0, seed=3)
+assert spec._fused_ok(SAMPLER), "sampler outside the fused-round coverage"
 
 prompt = list(np.random.default_rng(0).integers(0, hp.n_vocab, 16))
 
 # warmup: compiles the draft decode forward + the bucket-(k+1) verify path
-spec.generate(prompt, args.k + 1, GREEDY)
+spec.generate(prompt, args.k + 1, SAMPLER)
 
 # measure steady-state rounds
 target.reset()
 draft.reset()
 t0 = time.perf_counter()
-out = spec.generate(prompt, args.rounds * (args.k + 1), GREEDY)
+out = spec.generate(prompt, args.rounds * (args.k + 1), SAMPLER)
 dt = time.perf_counter() - t0
 st = spec.stats
 per_round = dt / st.n_rounds
-print(f"k={args.k} draft_layers={args.draft_layers} block={args.block}: "
+mode = "greedy" if args.temp <= 0 else f"stochastic(temp={args.temp})"
+print(f"k={args.k} draft_layers={args.draft_layers} block={args.block} "
+      f"{mode}: "
       f"{st.n_rounds} rounds in {dt:.3f}s -> {per_round * 1e3:.2f} ms/round "
       f"(self-draft acceptance here: {100 * st.acceptance:.0f}%, "
       f"synthetic weights)")
