@@ -325,6 +325,7 @@ class SpeculativeDecoder:
         import jax.numpy as jnp
 
         tgt, dr, k = self.target, self.draft, self.k
+        base = tgt.n_past  # engines may enter pre-advanced (server prefix reuse)
         history = list(prompt_ids)
         if len(prompt_ids) > 1:
             tgt.eval_tokens(prompt_ids[:-1])
@@ -401,7 +402,7 @@ class SpeculativeDecoder:
         # re-align engine state with the committed stream (drop any round
         # overshoot past n_predict/stop; stale cache beyond is masked)
         out = out[: n_predict]
-        n_final = len(prompt_ids) + len(out) - 1
+        n_final = base + len(prompt_ids) + len(out) - 1
         tgt.rollback(min(tgt.n_past, n_final))
         dr.rollback(min(dr.n_past, n_final))
         dt = (_time.perf_counter() - t0) * 1e6
@@ -425,8 +426,8 @@ class SpeculativeDecoder:
         assert prompt_ids, "speculative generation needs a prompt"
         stats = self.stats = SpecStats()
         if (self._fused_ok(sampler)
-                and len(prompt_ids) - 1 + 2 * self.rounds * (self.k + 1)
-                <= n_ctx):
+                and self.target.n_past + len(prompt_ids) - 1
+                + 2 * self.rounds * (self.k + 1) <= n_ctx):
             return self._generate_fused(prompt_ids, n_predict, stop_ids,
                                         on_token, stats, sampler)
 

@@ -84,7 +84,7 @@ class ServerState:
     """One engine + its conversation cache, guarded by a lock."""
 
     def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
-                 alias: str = "unknown"):
+                 alias: str = "unknown", spec=None):
         self.engine = engine
         self.vocab = vocab
         self.alias = alias
@@ -92,6 +92,12 @@ class ServerState:
         self.lock = threading.Lock()
         self.cache_tokens: list[int] = []
         self._grammar_trie = None  # lazily built, shared across requests
+        # speculative decoding (engine/speculative.SpeculativeDecoder over
+        # THIS engine + a draft): requests whose sampler fits the fused
+        # device round (greedy or penalty-free cascade) ride draft/verify
+        # rounds; everything else falls back to the plain Generator path
+        self.spec = spec
+        self.draft_tokens: list[int] = []  # stream the draft cache has seen
 
     # ------------------------------------------------------------ generate
 
@@ -145,17 +151,36 @@ class ServerState:
             prompt_ids = prompt_ids[:n_keep] + prompt_ids[-tail:]
             truncated = True
 
+        use_spec = (self.spec is not None and not body.get("grammar")
+                    and self.spec._fused_ok(sampler) and n_predict > 0)
+
         # prefix reuse against the previous request's tokens
         n_common = _common_part(self.cache_tokens, prompt_ids)
+        if use_spec:
+            # the draft cache must also cover the reused prefix; clamp to
+            # the stream the draft engine has actually seen
+            n_common = min(n_common,
+                           _common_part(self.draft_tokens, prompt_ids),
+                           self.spec.draft.n_past)
         if n_common == len(prompt_ids):
             n_common -= 1  # always re-eval at least the final token
         if n_common > 0 and n_common <= eng.n_past:
             eng.n_past = n_common
             to_eval = prompt_ids[n_common:]
         else:
-            eng.reset()
             n_common = 0
             to_eval = prompt_ids
+        if use_spec:
+            if n_common > 0:
+                self.spec.draft.n_past = n_common
+            else:
+                eng.reset()
+                self.spec.draft.reset()
+            return self._spec_completion(body, prompt_ids, to_eval, n_common,
+                                         n_predict, stops, sampler,
+                                         truncated, n_keep, emit)
+        if n_common == 0:
+            eng.reset()
 
         grammar = None
         if body.get("grammar"):
@@ -224,6 +249,88 @@ class ServerState:
             },
         }
         return final
+
+
+    def _spec_completion(self, body: dict, prompt_ids, to_eval, n_common,
+                         n_predict, stops, sampler, truncated, n_keep,
+                         emit=None) -> dict:
+        """Run one completion through the speculative decoder (fused
+        draft/verify rounds): streaming, stop strings, and the response
+        schema match the Generator path; greedy output is bit-identical
+        with or without the draft (tests/test_server.py)."""
+        spec = self.spec
+        eng = self.engine
+
+        t0 = time.perf_counter()
+        if len(to_eval) > 1:  # prefill both models up to the pending token
+            eng.eval_tokens(to_eval[:-1])
+            spec.draft.eval_tokens(to_eval[:-1])
+        t_prompt = time.perf_counter() - t0
+
+        ss = StopStream(stops)
+        tokens_predicted = 0
+        parts: list[bytes] = []
+        outcome = {"reason": "limit"}
+        eos = self.tk.eos_id
+
+        def on_token(tok: int) -> bool:
+            nonlocal tokens_predicted
+            if tok == eos:
+                outcome["reason"] = "eos"
+                return False
+            tokens_predicted += 1
+            out = ss.push(self.vocab.id_to_token[tok])
+            if out:
+                parts.append(out)
+                if emit is not None:
+                    emit({"content": out.decode("utf-8", "replace"),
+                          "stop": False})
+            if ss.stopped:
+                outcome["reason"] = "stop"
+                return False
+            return True
+
+        t0 = time.perf_counter()
+        out_ids = spec.generate([to_eval[-1]], n_predict, sampler,
+                                on_token=on_token)
+        if not ss.stopped and outcome["reason"] != "eos":
+            tail = ss.flush()
+            if tail:
+                parts.append(tail)
+                if emit is not None:
+                    emit({"content": tail.decode("utf-8", "replace"),
+                          "stop": False})
+        t_gen = time.perf_counter() - t0
+
+        stream_tokens = prompt_ids + list(out_ids)
+        self.cache_tokens = stream_tokens
+        self.draft_tokens = stream_tokens
+        st = spec.stats
+        out = b"".join(parts)
+        return {
+            "content": "" if emit else out.decode("utf-8", "replace"),
+            "stop": True,
+            "model": self.alias,
+            "prompt": body.get("prompt", ""),
+            "truncated": truncated,
+            "stopped_reason": outcome["reason"],
+            **_stop_fields(outcome["reason"], ss.stop_match),
+            "generation_settings": _generation_settings(
+                sampler, n_predict, n_keep, stops, eos),
+            "tokens_predicted": tokens_predicted,
+            "tokens_evaluated": len(to_eval),
+            "speculative": {
+                "rounds": st.n_rounds, "drafted": st.n_drafted,
+                "accepted": st.n_accepted, "emitted": st.n_emitted,
+                "acceptance": round(st.acceptance, 4),
+            },
+            "timings": {
+                "prompt_ms": round(t_prompt * 1e3, 2),
+                "predicted_ms": round(t_gen * 1e3, 2),
+                "predicted_per_second": round(tokens_predicted / t_gen, 2)
+                if t_gen > 0 else None,
+            },
+        }
 
 
 class BatchedServerState:
@@ -530,10 +637,16 @@ def make_handler(state: ServerState):
                 # reference's observability is stderr tables, SURVEY §5.5)
                 m = getattr(state, "metrics", None) or {}
                 lines = []
-                for name, help_ in (
-                        ("requests_total", "Completed completion requests"),
-                        ("prompt_tokens_total", "Prompt tokens evaluated"),
-                        ("generated_tokens_total", "Tokens generated")):
+                names = [
+                    ("requests_total", "Completed completion requests"),
+                    ("prompt_tokens_total", "Prompt tokens evaluated"),
+                    ("generated_tokens_total", "Tokens generated")]
+                if getattr(state, "spec", None) is not None:
+                    names += [
+                        ("spec_rounds_total", "Speculative draft/verify rounds"),
+                        ("spec_drafted_total", "Draft tokens proposed"),
+                        ("spec_accepted_total", "Draft tokens accepted")]
+                for name, help_ in names:
                     lines.append(f"# HELP ggllm_{name} {help_}")
                     lines.append(f"# TYPE ggllm_{name} counter")
                     lines.append(f"ggllm_{name} {m.get(name, 0)}")
@@ -614,12 +727,19 @@ def make_handler(state: ServerState):
 
             def account(final):
                 if metrics is not None:
+                    sp = final.get("speculative") or {}
                     with state.metrics_lock:
                         metrics["requests_total"] += 1
                         metrics["prompt_tokens_total"] += \
                             final.get("tokens_evaluated", 0)
                         metrics["generated_tokens_total"] += \
                             final.get("tokens_predicted", 0)
+                        if sp:
+                            metrics["spec_rounds_total"] += sp.get("rounds", 0)
+                            metrics["spec_drafted_total"] += \
+                                sp.get("drafted", 0)
+                            metrics["spec_accepted_total"] += \
+                                sp.get("accepted", 0)
 
             def run(emit=None):
                 if batched:  # concurrent: the scheduler thread batches
@@ -682,16 +802,25 @@ def make_handler(state: ServerState):
 
 def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080,
           arch: str = "falcon", parallel: int = 1, chunk: int = 8,
-          alias: str = "unknown"):
+          alias: str = "unknown", draft_engine=None, draft_k: int = 6):
     """parallel > 1 serves concurrent requests through the continuous
-    batcher (the engine must be built with batch_size=parallel)."""
+    batcher (the engine must be built with batch_size=parallel).
+    draft_engine enables speculative decoding for fused-coverable samplers
+    (single-stream serving only)."""
     if parallel > 1:
         assert engine.batch == parallel, "engine batch_size must match --parallel"
+        assert draft_engine is None, \
+            "speculative serving requires --parallel 1"
         state = BatchedServerState(engine, vocab, arch, chunk=chunk, alias=alias)
     else:
-        state = ServerState(engine, vocab, arch, alias=alias)
+        spec = None
+        if draft_engine is not None:
+            from ggllm_tpu.engine.speculative import SpeculativeDecoder
+            spec = SpeculativeDecoder(engine, draft_engine, k=draft_k)
+        state = ServerState(engine, vocab, arch, alias=alias, spec=spec)
     state.metrics = {"requests_total": 0, "prompt_tokens_total": 0,
-                     "generated_tokens_total": 0}
+                     "generated_tokens_total": 0, "spec_rounds_total": 0,
+                     "spec_drafted_total": 0, "spec_accepted_total": 0}
     httpd = _Server((host, port), make_handler(state))
     httpd.state = state
     return httpd
@@ -733,6 +862,15 @@ def main(argv=None):
     ap.add_argument("--lora", default=None, help="apply a 'ggla' LoRA adapter")
     ap.add_argument("--lora-base", default=None,
                     help="unquantized base model for --lora")
+    ap.add_argument("--draft-model", default=None, metavar="FNAME",
+                    help="speculative decoding: a smaller same-vocab model "
+                         "drafts tokens the main model verifies (fused "
+                         "device rounds; --parallel 1 only)")
+    ap.add_argument("--self-draft", type=int, default=0, metavar="N",
+                    help="speculative decoding with the model's own first N "
+                         "layers as the draft (--parallel 1 only)")
+    ap.add_argument("--draft-k", type=int, default=6,
+                    help="draft tokens per speculative round")
     args = ap.parse_args(argv)
 
     cfg = EngineConfig(n_ctx=args.ctx_size, n_batch=args.batch_size,
@@ -741,9 +879,33 @@ def main(argv=None):
     mf, params = load_model(args.model, cfg, lora=args.lora,
                             lora_base=args.lora_base)
     engine = FalconEngine(mf.hparams, params, cfg, batch_size=args.parallel)
+    draft = None
+    if args.draft_model or args.self_draft:
+        import dataclasses
+        import sys
+
+        if args.parallel > 1:
+            print("error: speculative serving requires --parallel 1",
+                  file=sys.stderr)
+            return 1
+        if args.self_draft:
+            from ggllm_tpu.engine.speculative import truncate_params
+
+            if not 0 < args.self_draft < mf.hparams.n_layer:
+                print(f"error: --self-draft must be in 1.."
+                      f"{mf.hparams.n_layer - 1}", file=sys.stderr)
+                return 1
+            dhp = dataclasses.replace(mf.hparams, n_layer=args.self_draft)
+            draft = FalconEngine(dhp,
+                                 truncate_params(params, args.self_draft),
+                                 cfg)
+        else:
+            dmf, dparams = load_model(args.draft_model, cfg)
+            draft = FalconEngine(dmf.hparams, dparams, cfg)
     httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch,
                   parallel=args.parallel, chunk=args.decode_chunk,
-                  alias=args.alias or args.model)
+                  alias=args.alias or args.model, draft_engine=draft,
+                  draft_k=args.draft_k)
     print(f"listening on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

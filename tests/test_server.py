@@ -342,3 +342,111 @@ def test_batched_response_has_generation_settings(batched_server):
     gs = out["generation_settings"]
     assert gs["n_predict"] == 3 and gs["temp"] == 0
     assert out["stopped_limit"] is True
+
+
+# ----------------------------------------------- speculative serving
+
+@pytest.fixture(scope="module")
+def spec_server(tmp_path_factory):
+    """Server with --self-draft 1 speculative decoding, plus a plain server
+    over the SAME weights for identity checks."""
+    import dataclasses
+
+    from ggllm_tpu.engine.speculative import SpeculativeDecoder, truncate_params
+
+    path = str(tmp_path_factory.mktemp("spsrv") / "tiny.ggcc")
+    hp = FalconHParams.tiny()
+    write_tiny_model(path, hp, ftype_2d=GGMLType.Q8_0, seed=6)
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=128, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32")
+
+    params = load_params(mf, cfg)
+    engine = FalconEngine(mf.hparams, params, cfg)
+    dhp = dataclasses.replace(mf.hparams, n_layer=1)
+    draft = FalconEngine(dhp, truncate_params(params, 1), cfg)
+    httpd = serve(engine, mf.vocab, port=0, draft_engine=draft, draft_k=3)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    plain = serve(FalconEngine(mf.hparams, load_params(mf, cfg), cfg),
+                  mf.vocab, port=0)
+    t2 = threading.Thread(target=plain.serve_forever, daemon=True)
+    t2.start()
+    yield (f"http://127.0.0.1:{httpd.server_address[1]}",
+           f"http://127.0.0.1:{plain.server_address[1]}")
+    httpd.shutdown()
+    plain.shutdown()
+
+
+def test_spec_server_greedy_identical(spec_server):
+    """Greedy completions through the speculative server must be
+    id-identical to the plain server over the same weights."""
+    spec_url, plain_url = spec_server
+    body = {"prompt": "abcd", "n_predict": 12, "temperature": 0.0,
+            "repeat_penalty": 1.0}
+    a = _post(spec_url, "/completion", body)
+    b = _post(plain_url, "/completion", body)
+    assert a["content"] == b["content"]
+    assert a["tokens_predicted"] == b["tokens_predicted"]
+    sp = a.get("speculative")
+    assert sp and sp["rounds"] > 0  # it really took the fused spec path
+    assert "speculative" not in b
+
+
+def test_spec_server_prefix_reuse_and_metrics(spec_server):
+    """Consecutive spec requests reuse the common prefix on BOTH caches and
+    /metrics exports the speculative counters."""
+    spec_url, plain_url = spec_server
+    a = _post(spec_url, "/completion",
+              {"prompt": "abcdef", "n_predict": 4, "temperature": 0.0,
+               "repeat_penalty": 1.0})
+    b = _post(spec_url, "/completion",
+              {"prompt": "abcdef" + a["content"], "n_predict": 4,
+               "temperature": 0.0, "repeat_penalty": 1.0})
+    assert b["tokens_predicted"] >= 1
+    with urllib.request.urlopen(spec_url + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "ggllm_spec_rounds_total" in text
+    rounds = [line for line in text.splitlines()
+              if line.startswith("ggllm_spec_rounds_total")]
+    assert float(rounds[0].split()[-1]) > 0
+
+
+def test_spec_server_sampled_and_fallback(spec_server):
+    """temp>0 penalty-free requests ride the stochastic fused rounds;
+    penalty configs fall back to the Generator path (no speculative block)."""
+    spec_url, _ = spec_server
+    a = _post(spec_url, "/completion",
+              {"prompt": "ab", "n_predict": 6, "temperature": 0.9,
+               "top_k": 40, "top_p": 0.95, "repeat_penalty": 1.0, "seed": 3})
+    assert a["tokens_predicted"] >= 1
+    assert a.get("speculative", {}).get("rounds", 0) > 0
+    b = _post(spec_url, "/completion",
+              {"prompt": "ab", "n_predict": 4, "temperature": 0.9,
+               "repeat_penalty": 1.3, "seed": 3})
+    assert "speculative" not in b and b["tokens_predicted"] >= 1
+
+
+def test_spec_server_streaming_and_stops(spec_server):
+    """SSE streaming over fused rounds, and stop-string holdback."""
+    spec_url, plain_url = spec_server
+    body = {"prompt": "abc", "n_predict": 10, "temperature": 0.0,
+            "repeat_penalty": 1.0, "stream": True}
+
+    def stream_chunks(url):
+        req = urllib.request.Request(
+            url + "/completion", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        chunks = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.strip()
+                if line.startswith(b"data: "):
+                    chunks.append(json.loads(line[6:]))
+        return [c["content"] for c in chunks
+                if not c.get("stop") and c.get("content")]
+
+    # both paths emit one SSE chunk per token piece, so the chunk streams
+    # (including per-chunk utf-8 replacement handling) must be identical
+    assert stream_chunks(spec_url) == stream_chunks(plain_url)
