@@ -689,6 +689,116 @@ class FalconEngine:
         self.timings.n_decode += n_done
         return np.concatenate(out), rng_done
 
+    def _masked_step_fn(self, n_steps: int, temp: float, top_k: int,
+                        top_p: float, pen_spec: tuple, ring_len: int):
+        """Jitted n_steps-decode with a bit-packed validity mask fused in:
+        per step forward + (-inf mask) + penalties + cascade sample, one
+        dispatch. The grammar fast path: instead of fetching (V,) logits to
+        mask on host (65.6 ms/token through this tunnel), the host uploads
+        ceil(V/8) mask BYTES and fetches n_steps token ids. The mask is
+        CONSTANT across the chunk — exact while the grammar state
+        self-loops (the caller consumes tokens only until the first state
+        change and rolls the rest back). Plain single-device engines only
+        (mesh grammar falls back to the host path)."""
+        key = ("maskstep", n_steps, temp, top_k, top_p, pen_spec, ring_len)
+        if key not in self._fwd:
+            assert self.tp_plan is None and not self.sp_axis_size, \
+                "masked step supports single-device engines"
+            inv_freq, dtype, st = self.inv_freq, self.compute_dtype, self.st
+            forward = self._forward
+            kv_dtype = self.cfg.kv_dtype
+            B, V = self.batch, self.hp.n_vocab
+            L = ring_len
+            from ggllm_tpu.models.falcon import merged_cache_view
+
+            def step(params, tok, kv, n_past, rng, ring, pos, bits):
+                kvd = kv[0] if isinstance(kv, tuple) else kv
+                L_, _, _, _, KV_, D_ = kvd.shape
+                pdtype = dtype if kv_dtype == "int8" else kvd.dtype
+                pending0 = jnp.zeros((L_, 2, B, n_steps, KV_, D_), pdtype)
+                kvm = merged_cache_view(kv, st)
+                # unpack little-endian bits -> (V,) validity, once per chunk
+                nb = bits.shape[0]
+                expanded = jnp.repeat(bits, 8)
+                shifts = jnp.tile(jnp.arange(8, dtype=jnp.uint8), nb)
+                valid = (((expanded >> shifts) & 1) > 0)[:V]
+
+                def body(carry, j):
+                    tok, pending, rng, ring, pos = carry
+                    toks_b = jnp.full((B, 1), tok, jnp.int32)
+                    logits, kv_new = forward(
+                        params, toks_b, kv, n_past + j, inv_freq, st,
+                        logits_all=False, compute_dtype=dtype, last_pos=0,
+                        unroll=True, pending=pending, n_pend=j, kv_merged=kvm)
+                    lg = logits[0, 0].astype(jnp.float32)
+                    # mask BEFORE bias/penalties (llama.cpp grammar order;
+                    # -inf survives the penalty arithmetic)
+                    lg = jnp.where(valid, lg, -jnp.inf)
+                    rng, sub = jax.random.split(rng)
+                    penalized = sampling_device.apply_penalties(
+                        lg, ring, pen_spec)
+                    nxt = sampling_device.sample_logits(
+                        penalized, sub, temp, top_k, top_p)
+                    ring = ring.at[pos % L].set(nxt)
+                    pending = jax.lax.dynamic_update_slice(
+                        pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                    return (nxt, pending, rng, ring, pos + 1), nxt
+
+                (_, pending, rng, _, _), toks = jax.lax.scan(
+                    body, (tok, pending0, rng, ring, pos),
+                    jnp.arange(n_steps, dtype=jnp.int32))
+                kv = kvcache.write_all_layers(
+                    kv, pending, jnp.broadcast_to(
+                        jnp.asarray(n_past, jnp.int32).reshape(-1), (B,)))
+                return toks, kv, rng
+
+            self._fwd[key] = jax.jit(step, donate_argnums=(2,))
+        return self._fwd[key]
+
+    def decode_chunk_masked(self, tok: int, mask_bits: np.ndarray,
+                            n_steps: int = 1, sampler=None, rng_key=None,
+                            last_tokens=None) -> tuple[np.ndarray, object]:
+        """n_steps fused forward+masked-sample steps under ONE constant
+        validity mask. mask_bits: np.packbits(valid_bool, bitorder='little').
+        Returns ((n_steps,) token ids, rng); advances n_past by n_steps —
+        the caller rolls back past any tokens it does not commit
+        (grammar-state change mid-chunk)."""
+        sampler = sampler or sampling.SamplerParams(temp=0.0)
+        assert self.n_past + n_steps <= self.cfg.n_ctx, "context overflow"
+        pen_spec = sampling_device.penalty_spec(sampler, self.hp.n_vocab)
+        L = max(int(sampler.repeat_last_n), 1)
+        step = self._masked_step_fn(
+            n_steps, float(sampler.temp), int(sampler.top_k),
+            float(sampler.top_p), pen_spec, L)
+        if rng_key is None:
+            seed = sampler.seed if sampler.seed >= 0 else 0
+            rng_key = jax.random.PRNGKey(seed)
+        window = list(last_tokens) if last_tokens else [int(tok)]
+        window = window[-min(L, self.cfg.n_ctx):]
+        ring = np.full(L, self.hp.n_vocab, dtype=np.int32)
+        ring[: len(window)] = window
+        key = ("maskstep", n_steps, float(sampler.temp), int(sampler.top_k),
+               float(sampler.top_p), pen_spec, L)
+        first = key not in self._warm
+        t0 = time.perf_counter()
+        toks, kv, rng_key = step(
+            self.params, jnp.int32(tok), self.kv, jnp.int32(self.n_past),
+            rng_key, jnp.asarray(ring), jnp.int32(len(window) % L),
+            jnp.asarray(mask_bits))
+        t_disp = time.perf_counter()
+        toks = self._fetch(toks)
+        dt = (time.perf_counter() - t0) * 1e6
+        if first:
+            self._warm.add(key)
+            comp = (t_disp - t0) * 1e6
+            self.timings.t_compile_us += comp
+            dt -= comp
+        self.timings.t_decode_us += dt
+        self.timings.n_decode += n_steps
+        self.kv = kv
+        self.n_past += n_steps
+        return toks, rng_key
+
     def embed(self, tokens) -> np.ndarray:
         """Final-layer (normed) hidden state for the last token — the
         reference embedding example's output (examples/embedding)."""

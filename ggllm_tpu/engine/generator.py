@@ -36,6 +36,20 @@ class Generator:
         # grammar masking is data-dependent per step -> host sampling path
         self.fused = (fused_ok and grammar is None
                       and sampling_device.device_samplable(sampler))
+        # grammar fast path: one fused device step per token with the
+        # validity mask uploaded as packed bits (engine.decode_step_masked)
+        # instead of fetching (V,) logits to mask on host — 15.3 -> 60+
+        # tok/s at 7B through the device tunnel. Mesh engines and samplers
+        # beyond the device cascade fall back to the host path.
+        self.grammar_device = (grammar is not None and fused_ok
+                               and engine.mesh is None
+                               and sampling_device.device_samplable(sampler))
+        self._bits_cache: dict = {}
+        # masked-chunk gating: consecutive self-looping grammar states
+        # (digit runs, string interiors) share one mask, so chunks of fused
+        # steps are exact there; state churn uses single steps. Exactly TWO
+        # chunk sizes (1 and C) so only two XLA programs ever compile.
+        self._gloop_run = 0
         self.rng = None
         self.log = log or (lambda msg: None)
         self.all_tokens: list[int] = []  # full prompt+generation history
@@ -76,6 +90,27 @@ class Generator:
             self.eng.eval(ctx)
         self.swapped = True
         self.log(f"context swap: kept {len(head)}+{len(tail)} tokens")
+
+    def _grammar_bits(self):
+        """Packed little-endian validity bits for the current grammar state
+        (cached per state on top of valid_token_ids' id cache)."""
+        import numpy as np
+
+        key = (self.grammar.stacks, self.grammar.partial)
+        bits = self._bits_cache.get(key)
+        if bits is None:
+            ids = self.grammar.valid_token_ids()
+            if not ids.size:
+                from ggllm_tpu.ops.grammar import GrammarError
+
+                raise GrammarError(
+                    "no vocabulary token can extend the grammar from this "
+                    f"state (partial UTF-8 tail {self.grammar.partial!r})")
+            valid = np.zeros(self.eng.hp.n_vocab, bool)
+            valid[ids] = True
+            bits = np.packbits(valid, bitorder="little")
+            self._bits_cache[key] = bits
+        return bits
 
     def _host_sample(self, logits) -> int:
         """One host-cascade sample, grammar-masked when constrained
@@ -157,6 +192,50 @@ class Generator:
                             # on_token exception); the final consumed token is
                             # always left unforwarded
                             eng.rollback(n_before + consumed[0])
+                    if st["reason"] is not None:
+                        return st["reason"]
+                elif self.grammar_device:
+                    # fused masked steps; while the grammar state SELF-LOOPS
+                    # (mask unchanged) run multi-step chunks at fused-decode
+                    # speed, consuming tokens only up to the first state
+                    # change (the rest are rolled back — exactness is
+                    # per-token: every committed token was sampled under
+                    # its own state's mask)
+                    g = self.grammar
+                    s0 = (g.stacks, g.partial)
+                    bits = self._grammar_bits()
+                    # fixed chunk size: rem/room do NOT shrink it
+                    # (that would compile a new program per size) —
+                    # overshoot tokens are rolled back
+                    room = eng.cfg.n_ctx - eng.n_past
+                    rem = n_predict - st["n_out"]
+                    C = max(2, min(16, eng.cfg.decode_chunk))
+                    n = C if (self._gloop_run >= 2 and room >= C
+                              and rem >= 2) else 1
+                    win = max(int(sampler.repeat_last_n), 1)
+                    n_before = eng.n_past
+                    toks, self.rng = eng.decode_chunk_masked(
+                        self.all_tokens[-1], bits, n, sampler, self.rng,
+                        last_tokens=self.all_tokens[-win:])
+                    eng.timings.n_sample += len(toks)
+                    consumed = 0
+                    stop_chunk = False
+                    for t in map(int, toks):
+                        g.accept(t)  # raises if the mask failed
+                        consumed += 1
+                        cur = (g.stacks, g.partial)
+                        if cur == s0 and t != self.eos_id:
+                            self._gloop_run += 1
+                        else:
+                            self._gloop_run = 0
+                            stop_chunk = True
+                        if not consume(t):
+                            stop_chunk = True
+                        if stop_chunk:
+                            break
+                    if consumed < len(toks):
+                        # discard steps sampled under a stale mask
+                        eng.rollback(n_before + consumed)
                     if st["reason"] is not None:
                         return st["reason"]
                 else:

@@ -61,6 +61,23 @@ class Grammar:
             out |= self._expand(((self.root, aid, 0),), 0)
         return frozenset(out)
 
+    def _canon(self, stack):
+        """Canonical stack: drop INTERIOR epsilon frames — frames whose
+        resumption point (pos+1, where a completing child advances them) is
+        already past their alternate's end, so they only ever pop through.
+        Without this, right-recursive repetition (x+ ≙ x ::= c x | c) piles
+        one such frame per matched element: behaviorally identical states
+        never compare equal, the per-state mask cache never hits, and state
+        size grows O(tokens). With it, self-looping states (digit runs,
+        string interiors) are literally equal — which the mask cache and
+        the engine's fused masked-chunk path both key on."""
+        if len(stack) <= 1:
+            return stack
+        keep = tuple(
+            f for f in stack[:-1]
+            if f[2] + 1 < len(self.rules[f[0]][f[1]]))
+        return keep + (stack[-1],)
+
     def _expand(self, stack, depth=0):
         """Normalize: pop exhausted alternates (advancing their parents) and
         expand rule references until the top element is a char matcher or
@@ -88,7 +105,7 @@ class Grammar:
                 continue
             el = seq[pos]
             if el[0] == "char":
-                out.add(stack)
+                out.add(self._canon(stack))
                 continue
             if refs > _MAX_DEPTH:
                 raise GrammarError(

@@ -296,3 +296,47 @@ def test_cli_grammar_file(tiny_model, capsysbinary, tmp_path):
     out = _gen_with_grammar(tiny_model, capsysbinary,
                             "--grammar-file", str(f))
     assert out[len(b"the"):].rstrip(b"\n") in (b"yes", b"no")
+
+
+def _grammar_generate(tiny_model, gbnf, device: bool, temp: float = 0.0,
+                      n: int = 12):
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.engine.generator import Generator
+    from ggllm_tpu.io.ggcc import read_model
+    from ggllm_tpu.io.loader import load_params
+    from ggllm_tpu.ops import sampling
+
+    mf = read_model(tiny_model)
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32", kernel_layout=True)
+    eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+    sampler = sampling.SamplerParams(temp=temp, top_k=40, top_p=0.95,
+                                     repeat_penalty=1.1, seed=5)
+    g = GrammarSampler(parse_gbnf(gbnf), mf.vocab.id_to_token, 11)
+    gen = Generator(eng, sampler, 11, grammar=g)
+    gen.grammar_device = device
+    toks = []
+    logits = gen.prefill([5, 17, 130])
+    gen.generate(logits, n, lambda t: toks.append(t) or True)
+    return toks, mf.vocab
+
+
+def test_grammar_device_step_matches_host(tiny_model):
+    """The fused masked device step (bit-packed mask upload + on-device
+    cascade) must emit the same greedy stream as the host filter path —
+    including repeat penalties over the masked logits."""
+    ref, _ = _grammar_generate(tiny_model, "root ::= [0-9]+", device=False)
+    got, vocab = _grammar_generate(tiny_model, "root ::= [0-9]+", device=True)
+    assert got == ref
+    assert all(vocab.id_to_token[t].isdigit() for t in got if t != 11)
+
+
+def test_grammar_device_step_stochastic_valid(tiny_model):
+    """Sampled grammar decoding through the device step stays in-grammar
+    (token validity is the hard guarantee; the draw itself uses the device
+    rng rather than the host's)."""
+    toks, vocab = _grammar_generate(tiny_model, "root ::= [0-9]+",
+                                    device=True, temp=0.9, n=10)
+    assert toks
+    assert all(vocab.id_to_token[t].isdigit() for t in toks if t != 11)
