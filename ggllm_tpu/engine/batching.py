@@ -54,6 +54,11 @@ class Request:
     mirostat_eta: float = 0.1
     logit_bias: dict = field(default_factory=dict)  # token id -> bias
     stop_ids: frozenset = frozenset()
+    # ops.grammar.GrammarSampler (per-request state); while any grammar row
+    # is active the batch decodes in 1-step dispatches with per-row validity
+    # masks uploaded as packed bits (grammar masks are per-state, so no
+    # multi-step chunking across rows)
+    grammar_sampler: object = None
     # optional per-token callback(token_id); returning False stops the row
     stream: object = None
 
@@ -201,8 +206,12 @@ class ContinuousBatcher:
 
         state = sampling.SamplerState(rng=_Rec(),
                                       mu=2.0 * req.mirostat_tau)
+        if req.grammar_sampler is not None:
+            logits = req.grammar_sampler.filter_logits(logits)
         tok = sampling.sample(logits, req.prompt_ids, params, state,
                               n_ctx=self.eng.cfg.n_ctx)
+        if req.grammar_sampler is not None:
+            req.grammar_sampler.accept(tok)
         req.mu = state.mu
         return tok
 
@@ -278,8 +287,18 @@ class ContinuousBatcher:
             return
         rings, fill = self._rings()
         bias_ids, bias_vals = self._bias_arrays()
+        mask = None
+        steps = self.chunk
+        if any(r is not None and r.grammar_sampler is not None
+               for r in self.rows):
+            steps = 1  # masks are per-grammar-state: one step per dispatch
+            nb = (self.eng.hp.n_vocab + 7) // 8
+            mask = np.full((self.B, nb), 0xFF, np.uint8)  # default: all valid
+            for row, req in enumerate(self.rows):
+                if req is not None and req.grammar_sampler is not None:
+                    mask[row] = req.grammar_sampler.valid_bits()
         res = self.eng.decode_rows(
-            self.last_tok, self.n_past, self.chunk, self.temp, self.top_p,
+            self.last_tok, self.n_past, steps, self.temp, self.top_p,
             top_k=self.top_k, rng_key=self.rng, active_rows=len(self.active),
             top_k_rows=self.top_k_rows, repeat_penalty=self.rp,
             frequency_penalty=self.fp, presence_penalty=self.pp,
@@ -287,7 +306,7 @@ class ContinuousBatcher:
             tfs_z=self.tfs, typical_p=self.typ,
             bias_ids=bias_ids, bias_vals=bias_vals,
             miro_mode=self.mmode, miro_tau=self.mtau, miro_eta=self.meta,
-            miro_mu=self.mu)
+            miro_mu=self.mu, mask_bits=mask)
         if len(res) == 4:
             toks, self.rng, new_mu, us = res
             self.mu = np.array(new_mu, np.float32)  # writable copy
@@ -306,11 +325,13 @@ class ContinuousBatcher:
             # chunk clamp (engine.py)
             avail = self.eng.cfg.n_ctx - int(self.n_past[row])
             consumed = 0
-            for j in range(min(self.chunk, avail)):
+            for j in range(min(steps, avail)):
                 tok = int(toks[j, row])
                 consumed = j + 1
                 if req.temp > 0:  # the host cascade draws one u per token
                     req.us.append(float(us[j, row]))
+                if req.grammar_sampler is not None:
+                    req.grammar_sampler.accept(tok)  # mask guarantees valid
                 self._emit(req, tok)
                 if req.done:
                     break
@@ -318,7 +339,7 @@ class ContinuousBatcher:
             # forward passes behind them (consumed steps) are committed
             self.n_past[row] += consumed
             self.last_tok[row] = req.out[-1]
-            if avail <= self.chunk and consumed == avail:
+            if avail <= steps and consumed == avail:
                 req.done = True
             if req.done:
                 self._free(row)

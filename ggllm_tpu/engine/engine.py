@@ -1010,15 +1010,22 @@ class FalconEngine:
         return out
 
     def _decode_rows_fn(self, n_steps: int, top_k: int, ring_len: int,
-                        n_bias: int = 0, use_miro: bool = False):
-        key = ("rowloop", n_steps, top_k, ring_len, n_bias, use_miro)
+                        n_bias: int = 0, use_miro: bool = False,
+                        use_mask: bool = False):
+        key = ("rowloop", n_steps, top_k, ring_len, n_bias, use_miro,
+               use_mask)
         if self.sp_axis_size and key not in self._fwd:
+            assert not use_mask, "per-row masks: single-device engines only"
             self._fwd[key] = self._decode_rows_fn_sp(
                 n_steps, top_k, ring_len, n_bias, use_miro)
         if key not in self._fwd:
             inv_freq, dtype = self.inv_freq, self.compute_dtype
             forward = self._forward
             tp = self.tp_plan is not None
+            assert not (use_mask and tp), \
+                "per-row masks: single-device engines only"
+            assert not use_mask or n_steps == 1, \
+                "per-row masks are per-state: one step per dispatch"
             st = self._st_local if tp else self.st
             psum_axis = "model" if tp else None
             L = ring_len
@@ -1029,7 +1036,7 @@ class FalconEngine:
             def loop_body(params, toks, kv, n_past_vec, temp, top_p,
                           top_k_rows, rp, fp, pp, rings, ring_pos,
                           tfs, typ, bias_ids, bias_vals,
-                          mmode, mtau, meta, mu, rng):
+                          mmode, mtau, meta, mu, rng, mask_bits=None):
                 if tp:
                     params = self._tp_local_params(params)
                 B = toks.shape[0]
@@ -1063,6 +1070,15 @@ class FalconEngine:
                     keys = jax.random.split(sub, B)
                     u = jax.vmap(lambda kk: jax.random.uniform(kk, ()))(keys)
                     lg = logits[:, 0]
+                    if use_mask:
+                        # per-row grammar validity (packed little-endian
+                        # bits): mask BEFORE bias/penalties (llama.cpp
+                        # grammar order; -inf survives penalty arithmetic)
+                        nb = mask_bits.shape[1]
+                        expanded = jnp.repeat(mask_bits, 8, axis=1)
+                        shifts = jnp.tile(jnp.arange(8, dtype=jnp.uint8), nb)
+                        valid = (((expanded >> shifts[None, :]) & 1) > 0)
+                        lg = jnp.where(valid[:, : lg.shape[1]], lg, -jnp.inf)
                     if n_bias:
                         lg = sampling_device.apply_bias_rows(
                             lg, bias_ids, bias_vals)
@@ -1172,7 +1188,8 @@ class FalconEngine:
                     top_k_rows=None, repeat_penalty=None, frequency_penalty=None,
                     presence_penalty=None, rings=None, ring_fill=None,
                     tfs_z=None, typical_p=None, bias_ids=None, bias_vals=None,
-                    miro_mode=None, miro_tau=None, miro_eta=None, miro_mu=None):
+                    miro_mode=None, miro_tau=None, miro_eta=None, miro_mu=None,
+                    mask_bits=None):
         """n_steps fused batched decode steps. toks: (B,) last sampled per
         row. Returns ((n_steps, B) successor ids, rng) — or, when mirostat
         rows are present (miro_mode given), (ids, rng, new_mu, us) with the
@@ -1201,8 +1218,9 @@ class FalconEngine:
             bias_vals = np.zeros((B, 0), np.float32)
         bias_ids = np.asarray(bias_ids, np.int32)
         n_bias = bias_ids.shape[1]
+        use_mask = mask_bits is not None
         loop = self._decode_rows_fn(n_steps, top_k, rings.shape[1],
-                                    n_bias, use_miro)
+                                    n_bias, use_miro, use_mask)
 
         def arr(x, default, dt=np.float32):
             if x is None:
@@ -1210,7 +1228,7 @@ class FalconEngine:
             return jnp.asarray(np.asarray(x, dt))
 
         t0 = time.perf_counter()
-        out, us, kv, mu_out, rng_key = loop(
+        largs = (
             self.params, jnp.asarray(np.asarray(toks, np.int32)), self.kv,
             jnp.asarray(np.asarray(n_past_vec, np.int32)),
             arr(temp, 0.0), arr(top_p, 1.0),
@@ -1228,6 +1246,9 @@ class FalconEngine:
             arr(miro_mode, 0, np.int32), arr(miro_tau, 5.0),
             arr(miro_eta, 0.1), arr(miro_mu, 10.0),
             rng_key)
+        if use_mask:
+            largs += (jnp.asarray(np.asarray(mask_bits, np.uint8)),)
+        out, us, kv, mu_out, rng_key = loop(*largs)
         out = self._fetch(out)
         self.kv = kv
         self.timings.t_decode_us += (time.perf_counter() - t0) * 1e6

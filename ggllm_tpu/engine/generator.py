@@ -44,7 +44,6 @@ class Generator:
         self.grammar_device = (grammar is not None and fused_ok
                                and engine.mesh is None
                                and sampling_device.device_samplable(sampler))
-        self._bits_cache: dict = {}
         # masked-chunk gating: consecutive self-looping grammar states
         # (digit runs, string interiors) share one mask, so chunks of fused
         # steps are exact there; state churn uses single steps. Exactly TWO
@@ -90,27 +89,6 @@ class Generator:
             self.eng.eval(ctx)
         self.swapped = True
         self.log(f"context swap: kept {len(head)}+{len(tail)} tokens")
-
-    def _grammar_bits(self):
-        """Packed little-endian validity bits for the current grammar state
-        (cached per state on top of valid_token_ids' id cache)."""
-        import numpy as np
-
-        key = (self.grammar.stacks, self.grammar.partial)
-        bits = self._bits_cache.get(key)
-        if bits is None:
-            ids = self.grammar.valid_token_ids()
-            if not ids.size:
-                from ggllm_tpu.ops.grammar import GrammarError
-
-                raise GrammarError(
-                    "no vocabulary token can extend the grammar from this "
-                    f"state (partial UTF-8 tail {self.grammar.partial!r})")
-            valid = np.zeros(self.eng.hp.n_vocab, bool)
-            valid[ids] = True
-            bits = np.packbits(valid, bitorder="little")
-            self._bits_cache[key] = bits
-        return bits
 
     def _host_sample(self, logits) -> int:
         """One host-cascade sample, grammar-masked when constrained
@@ -203,7 +181,7 @@ class Generator:
                     # its own state's mask)
                     g = self.grammar
                     s0 = (g.stacks, g.partial)
-                    bits = self._grammar_bits()
+                    bits = g.valid_bits()
                     # fixed chunk size: rem/room do NOT shrink it
                     # (that would compile a new program per size) —
                     # overshoot tokens are rolled back

@@ -447,6 +447,7 @@ class GrammarSampler:
         self._trie = trie if trie is not None \
             else build_token_trie(self.pieces, eos_id)
         self._mask_cache: dict = {}
+        self._bits_cache: dict = {}
         self.reset()
 
     def reset(self):
@@ -528,6 +529,25 @@ class GrammarSampler:
         ids = np.asarray(sorted(out), dtype=np.int32)
         self._mask_cache[key] = ids
         return ids
+
+    def valid_bits(self) -> np.ndarray:
+        """Packed little-endian validity bits for the current state —
+        np.packbits(valid_bool, bitorder='little'), cached per state. The
+        upload format of the engine's fused masked decode (single-stream
+        decode_chunk_masked and the batched per-row mask path)."""
+        key = (self.stacks, self.partial)
+        bits = self._bits_cache.get(key)
+        if bits is None:
+            ids = self.valid_token_ids()
+            if not ids.size:
+                raise GrammarError(
+                    "no vocabulary token can extend the grammar from this "
+                    f"state (partial UTF-8 tail {self.partial!r})")
+            valid = np.zeros(len(self.pieces), bool)
+            valid[ids] = True
+            bits = np.packbits(valid, bitorder="little")
+            self._bits_cache[key] = bits
+        return bits
 
     def filter_logits(self, logits: np.ndarray) -> np.ndarray:
         """-inf-mask logits of grammar-invalid tokens (llama.cpp's

@@ -6,7 +6,8 @@ The capability analogue of examples/server/server.cpp (:784-895 route table):
                       surface of llama_server_context; ``stream: true`` sends
                       SSE chunks (``data: {json}\n\n``), else one JSON object.
                       ``grammar`` (GBNF text) constrains sampling
-                      (ops/grammar.py; --parallel 1 only).
+                      (ops/grammar.py; single-stream AND batched modes —
+                      batched rows decode 1-step with per-row masks).
   POST /tokenize    — {"content": str} -> {"tokens": [int]}
   GET  /            — liveness/info JSON.
 
@@ -341,9 +342,10 @@ class BatchedServerState:
     Sampler coverage per request: the full per-row device cascade —
     greedy/temp/top-k/top-p/tfs/typical, repeat/frequency/presence penalties
     (fixed 64-token window), sparse logit bias (<= 64 entries, incl.
-    ignore_eos), and mirostat v1/v2 with per-row adaptive mu. Only
-    penalize_nl=false and top_k > the 64-candidate device cap still require
-    --parallel 1."""
+    ignore_eos), mirostat v1/v2 with per-row adaptive mu, and GBNF grammar
+    constraints (per-row validity masks; while a grammar row is active the
+    whole batch decodes in 1-step dispatches). Only penalize_nl=false and
+    top_k > the 64-candidate device cap still require --parallel 1."""
 
     def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
                  chunk: int = 8, alias: str = "unknown"):
@@ -353,6 +355,7 @@ class BatchedServerState:
         self.vocab = vocab
         self.alias = alias
         self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
+        self._grammar_trie = None  # lazily built, shared across requests
         self.batcher = ContinuousBatcher(engine, chunk=chunk)
         self.cv = threading.Condition()
         self._stop = False
@@ -392,8 +395,8 @@ class BatchedServerState:
         """Why this request can't run in batched mode (None = it can)."""
         if not body.get("penalize_nl", True):
             return "penalize_nl=false requires --parallel 1"
-        if body.get("grammar"):
-            return "grammar-constrained sampling requires --parallel 1"
+        if body.get("grammar") and self.engine.mesh is not None:
+            return "grammar in batched mode requires a single-device engine"
         # count MERGED bias entries: ignore_eos adds a -inf bias on eos, so
         # 64 explicit entries + ignore_eos would overflow the device arrays
         # and silently drop one (the cap check must see what _bias_arrays
@@ -451,6 +454,16 @@ class BatchedServerState:
                       for t, b in body.get("logit_bias", [])}
         if body.get("ignore_eos"):
             logit_bias[eos] = float("-inf")
+        gs = None
+        if body.get("grammar"):
+            from ggllm_tpu.ops.grammar import (GrammarSampler,
+                                               build_token_trie, parse_gbnf)
+            if self._grammar_trie is None:
+                self._grammar_trie = build_token_trie(
+                    self.vocab.id_to_token, eos)
+            g = body.get("_grammar") or parse_gbnf(body["grammar"])
+            gs = GrammarSampler(g, self.vocab.id_to_token, eos,
+                                trie=self._grammar_trie)
         req = Request(
             prompt_ids=prompt_ids, n_predict=n_predict,
             temp=float(body.get("temperature", 0.8)),
@@ -466,6 +479,7 @@ class BatchedServerState:
             mirostat_eta=float(body.get("mirostat_eta", 0.1)),
             logit_bias=logit_bias,
             stream=stream,
+            grammar_sampler=gs,
         )
         req.on_done = lambda: q.put(None)
         t0 = time.perf_counter()

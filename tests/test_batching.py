@@ -207,3 +207,50 @@ def test_batched_llama_matches_sequential(tmp_path_factory):
     for i, r in enumerate(reqs):
         outs[i] = r.out
     assert [outs[i] for i in range(len(prompts))] == ref
+
+
+def test_batched_grammar_rows_match_sequential(model):
+    """Grammar-constrained rows mixed with plain rows: per-row validity
+    masks in 1-step dispatches; grammar rows must equal the sequential
+    Generator grammar path token-for-token (greedy), plain rows must be
+    unaffected by the masked mode."""
+    from ggllm_tpu.engine.generator import Generator
+    from ggllm_tpu.ops.grammar import GrammarSampler, parse_gbnf
+    from ggllm_tpu.utils.synthetic import make_tiny_vocab
+
+    vocab = make_tiny_vocab(model.hparams.n_vocab)
+    gbnf = "root ::= [0-9]+"
+
+    def gs():
+        return GrammarSampler(parse_gbnf(gbnf), vocab.id_to_token, 11)
+
+    n_predict = 8
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg,
+                       batch_size=3)
+    cb = ContinuousBatcher(eng, chunk=4)
+    reqs = [
+        cb.submit(Request(PROMPTS[0], n_predict=n_predict,
+                          grammar_sampler=gs())),
+        cb.submit(Request(PROMPTS[1], n_predict=n_predict)),  # plain row
+        cb.submit(Request(PROMPTS[2], n_predict=n_predict,
+                          grammar_sampler=gs())),
+    ]
+    cb.run()
+
+    # sequential reference: Generator host-grammar path per request
+    for i, req in enumerate(reqs):
+        cfg1 = _cfg()
+        e1 = FalconEngine(model.hparams, load_params(model, cfg1), cfg1)
+        g = gs() if i != 1 else None
+        gen = Generator(e1, sampling.SamplerParams(temp=0.0,
+                                                   repeat_penalty=1.0),
+                        11, grammar=g)
+        gen.grammar_device = False  # host reference path
+        toks = []
+        logits = gen.prefill(PROMPTS[i])
+        gen.generate(logits, n_predict, lambda t: toks.append(t) or True)
+        assert req.out == toks, (i, req.out, toks)
+        if i != 1:
+            assert all(vocab.id_to_token[t].isdigit()
+                       for t in req.out if t != 11)

@@ -194,7 +194,8 @@ def test_batched_rejects_unsupported_sampler(batched_server):
     assert ei.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(batched_server, "/completion",
-              {"prompt": "x", "n_predict": 2, "grammar": 'root ::= [0-9]+'})
+              {"prompt": "x", "n_predict": 2, "temperature": 0.8,
+               "top_k": 500})
     assert ei.value.code == 400
 
 
@@ -450,3 +451,29 @@ def test_spec_server_streaming_and_stops(spec_server):
     # both paths emit one SSE chunk per token piece, so the chunk streams
     # (including per-chunk utf-8 replacement handling) must be identical
     assert stream_chunks(spec_url) == stream_chunks(plain_url)
+
+
+def test_batched_grammar_requests(batched_server):
+    """Grammar-constrained requests in batched serving: per-row masks;
+    concurrent grammar + plain requests both complete and the grammar
+    output obeys the constraint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def gram(i):
+        return _post(batched_server, "/completion",
+                     {"prompt": f"x{i}", "n_predict": 6, "temperature": 0,
+                      "grammar": "root ::= [0-9]+"})
+
+    def plain(i):
+        return _post(batched_server, "/completion",
+                     {"prompt": f"y{i}", "n_predict": 6, "temperature": 0})
+
+    with ThreadPoolExecutor(4) as ex:
+        g1 = ex.submit(gram, 1)
+        p1 = ex.submit(plain, 1)
+        g2 = ex.submit(gram, 2)
+        outs = [g1.result(timeout=300), p1.result(timeout=300),
+                g2.result(timeout=300)]
+    assert outs[0]["content"] and outs[0]["content"].isdigit()
+    assert outs[2]["content"] and outs[2]["content"].isdigit()
+    assert outs[1]["tokens_predicted"] >= 1
