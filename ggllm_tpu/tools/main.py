@@ -214,7 +214,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="draft tokens per speculative round")
     ap.add_argument("--grammar", default="", metavar="GBNF",
                     help="constrain generation to a GBNF grammar "
-                         "(llama.cpp grammar dialect; host sampling path)")
+                         "(llama.cpp grammar dialect; fused masked device "
+                         "steps, multi-step chunks over self-looping states)")
     ap.add_argument("--grammar-file", default="", metavar="FNAME",
                     help="read the GBNF grammar from a file")
     ap.add_argument("--self-draft", type=int, default=0, metavar="N",
