@@ -254,3 +254,20 @@ def test_batched_grammar_rows_match_sequential(model):
         if i != 1:
             assert all(vocab.id_to_token[t].isdigit()
                        for t in req.out if t != 11)
+
+
+def test_batcher_top_k_zero_clamps_to_cap(model):
+    """Direct batcher use with top_k=0 (reference semantics: full vocab)
+    CLAMPS to the 64-candidate device cap — documented degradation, and
+    identical to an explicit top_k=64 request (not silently different)."""
+    cfg = _cfg()
+    outs = []
+    for tk in (0, 64):
+        eng = FalconEngine(model.hparams, load_params(model, cfg), cfg,
+                           batch_size=2)
+        cb = ContinuousBatcher(eng, chunk=4, seed=9)
+        req = cb.submit(Request(PROMPTS[0], n_predict=8, temp=0.9,
+                                top_k=tk))
+        cb.run()
+        outs.append(req.out)
+    assert outs[0] == outs[1]

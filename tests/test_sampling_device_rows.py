@@ -146,3 +146,35 @@ def test_sample_logits_rows_mixed_miro_and_cascade():
         miro_eta=jnp.full((B,), 0.1), miro_mu=mu0, n_vocab=V)
     assert np.array_equal(np.asarray(u), np.asarray(u2))
     assert np.array_equal(toks, np.asarray(toks2))
+
+
+def test_mirostat_beyond_slice_is_graceful():
+    """Documented cap: mirostat is exact only while the dynamic keep-set
+    stays within the 512-candidate device slice (engine/batching.py docs).
+    Probe a VIOLATION — near-uniform logits over V=1024 with a huge mu so
+    the host keep-set exceeds 512 — and assert the device path degrades
+    gracefully: finite probabilities, a token drawn from the top-512 slice
+    (a valid renormalized truncation), and a finite mu update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggllm_tpu.ops import sampling_device
+
+    V, B = 1024, 2
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1e-3, size=(B, V)).astype(np.float32))
+    toks, new_mu = sampling_device.sample_rows_u(
+        logits, jnp.asarray([0.999, 0.5]), temp=jnp.asarray([1.0, 1.0]),
+        top_p=jnp.asarray([1.0, 1.0]), top_k=64,
+        miro_mode=jnp.asarray([2, 2], jnp.int32),
+        miro_tau=jnp.asarray([100.0, 100.0]),  # mu huge -> keep-set > 512
+        miro_eta=jnp.asarray([0.1, 0.1]),
+        miro_mu=jnp.asarray([200.0, 200.0]), miro_k=512, n_vocab=V)
+    toks = np.asarray(toks)
+    new_mu = np.asarray(new_mu)
+    assert np.all(np.isfinite(new_mu))
+    # the drawn ids must come from the top-512 slice of each row
+    order = np.argsort(-np.asarray(logits), axis=-1)
+    for b in range(B):
+        assert toks[b] in order[b, :512]

@@ -477,3 +477,38 @@ def test_batched_grammar_requests(batched_server):
     assert outs[0]["content"] and outs[0]["content"].isdigit()
     assert outs[2]["content"] and outs[2]["content"].isdigit()
     assert outs[1]["tokens_predicted"] >= 1
+
+
+def test_batched_cap_violations_rejected_documentedly(batched_server):
+    """Every documented batched-mode cap, probed AT and BEYOND the bound:
+    requests beyond a cap are REJECTED with a clear message (never silently
+    approximated); requests at the bound run."""
+    import urllib.error
+
+    # top_k: beyond cap and full-vocab (0) both rejected at temp>0
+    for tk in (65, 500, 0):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(batched_server, "/completion",
+                  {"prompt": "x", "n_predict": 2, "temperature": 0.8,
+                   "top_k": tk})
+        assert ei.value.code == 400
+        assert "top_k" in json.loads(ei.value.read())["error"]
+    # at the bound: accepted
+    ok = _post(batched_server, "/completion",
+               {"prompt": "x", "n_predict": 2, "temperature": 0.8,
+                "top_k": 64})
+    assert ok["tokens_predicted"] >= 1
+
+    # logit_bias: 64 explicit entries + ignore_eos -> 65 merged -> rejected
+    # (ids chosen to not collide with eos=11, or the merge would stay at 64)
+    bias = [[100 + i, 1.0] for i in range(64)]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(batched_server, "/completion",
+              {"prompt": "x", "n_predict": 2, "logit_bias": bias,
+               "ignore_eos": True})
+    assert ei.value.code == 400
+    assert "logit_bias" in json.loads(ei.value.read())["error"]
+    # the same 64 entries WITHOUT ignore_eos fit the device arrays
+    ok = _post(batched_server, "/completion",
+               {"prompt": "x", "n_predict": 2, "logit_bias": bias})
+    assert ok["tokens_predicted"] >= 1
