@@ -96,3 +96,20 @@ warm = time.time() - t0
 print(f"WARM load (.kcache memmap + upload): {warm:.1f}s", flush=True)
 print(f"kcache size {os.path.getsize(kc) / 1e9:.2f} GB "
       f"(reference 7B load baseline: 2.4s)", flush=True)
+del params
+
+# cold-AFTER-QUANTIZE: the quantizer now emits the kcache by default
+# (tools/quantize.py --kcache on), so a freshly produced model's first
+# serving load is the warm path — measure exactly that: preseed (the
+# quantizer's tail step) is excluded, the first load after it is timed.
+os.remove(kc)
+from ggllm_tpu.io.loader import preseed_kcache  # noqa: E402
+
+t0 = time.time()
+preseed_kcache(PATH)
+print(f"quantizer kcache pre-seed step: {time.time() - t0:.1f}s", flush=True)
+t0 = time.time()
+mf, params = load_model(PATH, cfg)
+first = time.time() - t0
+print(f"FIRST load after quantize (kcache pre-seeded): {first:.1f}s "
+      f"(target: ~= warm {warm:.1f}s)", flush=True)

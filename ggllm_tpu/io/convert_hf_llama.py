@@ -301,11 +301,20 @@ def main(argv=None):
     ap.add_argument("dir_model")
     ap.add_argument("out_path")
     ap.add_argument("--ftype", choices=["f16", "f32"], default="f16")
+    ap.add_argument("--kcache", action="store_true",
+                    help="also emit <out>.kcache (kernel-layout parameter "
+                         "tree) so the first serving load of the converted "
+                         "model skips the host repack; skip this if you "
+                         "quantize next (the quantizer emits one by default)")
     args = ap.parse_args(argv)
     if Path(args.dir_model, "params.json").exists():
         convert_pth(args.dir_model, args.out_path, args.ftype)
     else:
         convert(args.dir_model, args.out_path, args.ftype)
+    if args.kcache:
+        from ggllm_tpu.io.loader import preseed_kcache
+
+        preseed_kcache(args.out_path)
 
 
 if __name__ == "__main__":

@@ -549,6 +549,27 @@ def _cache_fingerprint(cfg: EngineConfig, kernel: bool) -> dict:
     }
 
 
+def preseed_kcache(model_path: str) -> str:
+    """Build the default-config kernel-layout tree for model_path and write
+    its .kcache sidecar, so the FIRST serving load is a memmap read + device
+    upload instead of a host repack (chasing the reference's mmap-and-go
+    cold load, llama-util.h:176). Called by the quantizer (default on) and
+    the converters (--kcache): the emitted artifact IS the serving artifact;
+    the GGCC/GGJT file stays the portable/metadata form."""
+    import contextlib
+
+    from ggllm_tpu.io import param_cache
+    from ggllm_tpu.io.ggcc import read_model
+
+    cfg = EngineConfig(kernel_layout=True)
+    mf = read_model(model_path)
+    cpu = _host_cpu_device()
+    with (jax.default_device(cpu) if cpu is not None
+          else contextlib.nullcontext()):
+        params = load_params(mf, cfg, host_arrays=cpu is not None)
+    return param_cache.save(model_path, params, _cache_fingerprint(cfg, True))
+
+
 def load_model(path: str, cfg: EngineConfig | None = None, mesh=None,
                lora=None, lora_base=None, progress=None):
     """Convenience: parse file + build params. Returns (ModelFile, params).

@@ -179,10 +179,15 @@ def main(argv=None):
     ap.add_argument("--allow-requantize", action="store_true")
     ap.add_argument("--no-mixed", action="store_true",
                     help="disable the llama mixed K-type per-tensor policy")
-    ap.add_argument("--kcache", action="store_true",
-                    help="pre-seed <model_out>.kcache with the kernel-layout "
-                         "parameter tree so the FIRST inference load is a "
-                         "memmap read instead of a host repack")
+    ap.add_argument("--kcache", action="store_true", default=True,
+                    help="(default) also emit <model_out>.kcache: the "
+                         "kernel-layout parameter tree, so the FIRST "
+                         "inference load is a memmap read instead of a "
+                         "host repack — the quantized artifact IS the "
+                         "serving artifact (the GGCC file stays the "
+                         "portable/metadata form)")
+    ap.add_argument("--no-kcache", dest="kcache", action="store_false",
+                    help="skip the kernel-layout sidecar (GGCC file only)")
     args = ap.parse_args(argv)
     t0 = time.time()
     quantize_file(
@@ -193,26 +198,10 @@ def main(argv=None):
     )
     print(f"quantize time = {(time.time() - t0) * 1000:.2f} ms")
     if args.kcache:
-        from ggllm_tpu.core.config import EngineConfig
-        from ggllm_tpu.io import param_cache
-        from ggllm_tpu.io.ggcc import read_model
-        from ggllm_tpu.io.loader import _cache_fingerprint, load_params
-
-        import contextlib
-
-        import jax
-
-        from ggllm_tpu.io.loader import _host_cpu_device
+        from ggllm_tpu.io.loader import preseed_kcache
 
         t0 = time.time()
-        cfg = EngineConfig(kernel_layout=True)
-        mf = read_model(args.model_out)
-        cpu = _host_cpu_device()
-        with (jax.default_device(cpu) if cpu is not None
-              else contextlib.nullcontext()):
-            params = load_params(mf, cfg)
-        param_cache.save(args.model_out, params,
-                         _cache_fingerprint(cfg, True))
+        preseed_kcache(args.model_out)
         print(f"kcache pre-seed = {(time.time() - t0) * 1000:.2f} ms")
 
 
