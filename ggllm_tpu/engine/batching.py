@@ -77,12 +77,23 @@ class Request:
 
 class ContinuousBatcher:
     def __init__(self, engine: FalconEngine, chunk: int | None = None,
-                 top_k: int = 64, seed: int = 0):
+                 top_k: int = 64, seed: int = 0,
+                 prefill_chunk: int = 256):
         self.eng = engine
         self.B = engine.batch
         self.chunk = min(chunk or engine.cfg.decode_chunk,
                          max(DECODE_CHUNK, engine.cfg.decode_chunk))
         self.top_k = top_k
+        # admission prefill interleaving: at most prefill_chunk prompt
+        # tokens per row are evaluated between decode chunks, so an
+        # admission stalls in-flight streams by ONE capped prefill forward
+        # instead of the whole prompt (VERDICT r4 #8). Rows mid-prefill
+        # occupy their slot but are skipped by decode consumption; the
+        # decode loop's junk writes beyond their n_past are overwritten by
+        # the next prefill chunk (stale-cache invariant).
+        self.prefill_chunk = max(1, int(prefill_chunk))
+        self.pending: dict[int, tuple] = {}   # row -> (req, tokens done)
+        self.prefilling: set[int] = set()
         self.queue: deque[Request] = deque()
         self.rows: list[Request | None] = [None] * self.B
         self.n_past = np.full(self.B, self._park, dtype=np.int32)
@@ -120,9 +131,12 @@ class ContinuousBatcher:
         return [r for r in self.rows if r is not None]
 
     def step(self):
-        """Admit queued requests into free rows, then run one decode chunk."""
+        """Admit queued requests into free rows, advance admissions by one
+        capped prefill chunk, then run one decode chunk for live rows."""
         self._admit()
-        if not self.active:
+        self._prefill_step()
+        if not [r for row, r in enumerate(self.rows)
+                if r is not None and row not in self.prefilling]:
             return
         self._decode_chunk()
 
@@ -134,11 +148,10 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- internals
 
     def _admit(self):
-        # pair queued requests with free rows, then prefill them all in ONE
-        # batched forward (each forward costs a full B×bucket weight stream
-        # whether it serves one admission or all of them — per-request
-        # prefills were 93% of serving wall time, engine.prefill_rows)
-        batch: list[tuple[int, Request]] = []
+        # pair queued requests with free rows; their prompts are evaluated
+        # incrementally by _prefill_step (capped chunks interleaved with
+        # decode) — batched across admissions, since each forward costs a
+        # full B×bucket weight stream whether it serves one row or all
         for row in range(self.B):
             if self.rows[row] is not None or not self.queue:
                 continue
@@ -150,35 +163,57 @@ class ContinuousBatcher:
                 req.prompt_ids = req.prompt_ids[-max(keep, 1):]
             # row-local prefill: fresh row starts at position 0
             self.n_past[row] = 0
-            batch.append((row, req))
-        if not batch:
-            return
-        row_logits = self.eng.prefill_rows(
-            [row for row, _ in batch],
-            [req.prompt_ids for _, req in batch], self.n_past)
-        for row, req in batch:
-            self.n_past[row] = len(req.prompt_ids)
-            tok = self._sample_first(row_logits[row], req)
             req.row = row
             self.rows[row] = req
-            self._emit(req, tok)
-            if req.done:
-                self._free(row)
+            self.pending[row] = (req, 0)
+            self.prefilling.add(row)
+
+    def _prefill_step(self):
+        """Advance every mid-prefill row by at most prefill_chunk tokens in
+        one batched forward; rows whose prompt completes sample their first
+        token and go live."""
+        if not self.pending:
+            return
+        cap = self.prefill_chunk
+        rows, slices, finishing = [], [], set()
+        for row, (req, done) in self.pending.items():
+            sl = req.prompt_ids[done: done + cap]
+            rows.append(row)
+            slices.append(sl)
+            if done + len(sl) >= len(req.prompt_ids):
+                finishing.add(row)
+        row_logits = self.eng.prefill_rows(rows, slices, self.n_past,
+                                           fetch_rows=finishing)
+        for row, sl in zip(rows, slices):
+            req, done = self.pending[row]
+            self.n_past[row] += len(sl)
+            if row not in finishing:
+                self.pending[row] = (req, done + len(sl))
                 continue
-            self.last_tok[row] = tok
-            self.temp[row] = req.temp
-            self.top_p[row] = req.top_p
-            self.top_k_rows[row] = min(req.top_k, self.top_k) if req.top_k > 0 \
-                else self.top_k
-            self.rp[row] = req.repeat_penalty
-            self.fp[row] = req.frequency_penalty
-            self.pp[row] = req.presence_penalty
-            self.tfs[row] = req.tfs_z
-            self.typ[row] = req.typical_p
-            self.mmode[row] = req.mirostat
-            self.mtau[row] = req.mirostat_tau
-            self.meta[row] = req.mirostat_eta
-            self.mu[row] = req.mu
+            del self.pending[row]
+            self.prefilling.discard(row)
+            self._activate(row, req, row_logits[row])
+
+    def _activate(self, row: int, req: Request, logits: np.ndarray):
+        tok = self._sample_first(logits, req)
+        self._emit(req, tok)
+        if req.done:
+            self._free(row)
+            return
+        self.last_tok[row] = tok
+        self.temp[row] = req.temp
+        self.top_p[row] = req.top_p
+        self.top_k_rows[row] = min(req.top_k, self.top_k) if req.top_k > 0 \
+            else self.top_k
+        self.rp[row] = req.repeat_penalty
+        self.fp[row] = req.frequency_penalty
+        self.pp[row] = req.presence_penalty
+        self.tfs[row] = req.tfs_z
+        self.typ[row] = req.typical_p
+        self.mmode[row] = req.mirostat
+        self.mtau[row] = req.mirostat_tau
+        self.meta[row] = req.mirostat_eta
+        self.mu[row] = req.mu
 
     def _sample_first(self, logits: np.ndarray, req: Request) -> int:
         # first token after prefill: the FULL host cascade (the reference
@@ -228,6 +263,8 @@ class ContinuousBatcher:
         if req is not None and req.on_done is not None:
             req.on_done()
         self.rows[row] = None
+        self.pending.pop(row, None)
+        self.prefilling.discard(row)
         self.n_past[row] = self._park
         self.temp[row] = 0.0
         self.top_p[row] = 1.0
@@ -280,7 +317,8 @@ class ContinuousBatcher:
     def _decode_chunk(self):
         # rows with a full context end now (no tokens left to produce)
         for row, req in enumerate(self.rows):
-            if req is not None and self.n_past[row] >= self.eng.cfg.n_ctx:
+            if req is not None and row not in self.prefilling \
+                    and self.n_past[row] >= self.eng.cfg.n_ctx:
                 req.done = True
                 self._free(row)
         if not self.active:
@@ -314,8 +352,8 @@ class ContinuousBatcher:
             toks, self.rng = res
             us = self.eng.last_us
         for row, req in enumerate(self.rows):
-            if req is None:
-                continue
+            if req is None or row in self.prefilling:
+                continue  # mid-prefill rows' decode outputs are junk
             if req.mirostat:
                 req.mu = float(self.mu[row])
             # a row near the context limit still consumes the in-context

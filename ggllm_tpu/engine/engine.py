@@ -955,7 +955,8 @@ class FalconEngine:
             done += chunk.size
         return logits
 
-    def prefill_rows(self, rows, prompts, n_past_vec: np.ndarray) -> dict:
+    def prefill_rows(self, rows, prompts, n_past_vec: np.ndarray,
+                     fetch_rows=None) -> dict:
         """Evaluate several rows' prompts in ONE batched forward (the
         continuous-batching admission path). Each batched forward costs a
         full B×bucket weight stream whether it prefills one row or all of
@@ -967,6 +968,9 @@ class FalconEngine:
         n_past_vec: per-row positions — admitted rows at their start (0),
         other rows at live/parked positions (their in-flight writes land
         beyond their n_past and are masked: the stale-cache invariant).
+        fetch_rows: only these rows' final logits are shipped to the host
+        (the chunked-admission path passes mid-prompt slices for rows whose
+        prompt continues next step — their logits are not needed).
         Returns {row: final-position logits (n_vocab,) float32}.
         """
         prompts = [np.asarray(p, dtype=np.int32).reshape(-1) for p in prompts]
@@ -989,7 +993,8 @@ class FalconEngine:
                     continue  # this row's prompt ended in an earlier chunk
                 buf[row, : chunk.size] = chunk
                 last[row] = chunk.size - 1
-                if done + chunk.size >= p.size:
+                if done + chunk.size >= p.size and \
+                        (fetch_rows is None or row in fetch_rows):
                     fetch.append(row)
                 sizes.append((row, chunk.size))
             fwd = self._forward_rows_fn(pad)

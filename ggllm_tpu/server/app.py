@@ -348,7 +348,8 @@ class BatchedServerState:
     top_k > the 64-candidate device cap still require --parallel 1."""
 
     def __init__(self, engine: FalconEngine, vocab, arch: str = "falcon",
-                 chunk: int = 8, alias: str = "unknown"):
+                 chunk: int = 8, alias: str = "unknown",
+                 prefill_chunk: int = 256):
         from ggllm_tpu.engine.batching import ContinuousBatcher
 
         self.engine = engine
@@ -356,7 +357,8 @@ class BatchedServerState:
         self.alias = alias
         self.tk = tok_mod.Tokenizer(vocab=vocab, arch=arch)
         self._grammar_trie = None  # lazily built, shared across requests
-        self.batcher = ContinuousBatcher(engine, chunk=chunk)
+        self.batcher = ContinuousBatcher(engine, chunk=chunk,
+                                         prefill_chunk=prefill_chunk)
         self.cv = threading.Condition()
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -816,7 +818,8 @@ def make_handler(state: ServerState):
 
 def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080,
           arch: str = "falcon", parallel: int = 1, chunk: int = 8,
-          alias: str = "unknown", draft_engine=None, draft_k: int = 6):
+          alias: str = "unknown", draft_engine=None, draft_k: int = 6,
+          prefill_chunk: int = 256):
     """parallel > 1 serves concurrent requests through the continuous
     batcher (the engine must be built with batch_size=parallel).
     draft_engine enables speculative decoding for fused-coverable samplers
@@ -825,7 +828,8 @@ def serve(engine: FalconEngine, vocab, host: str = "127.0.0.1", port: int = 8080
         assert engine.batch == parallel, "engine batch_size must match --parallel"
         assert draft_engine is None, \
             "speculative serving requires --parallel 1"
-        state = BatchedServerState(engine, vocab, arch, chunk=chunk, alias=alias)
+        state = BatchedServerState(engine, vocab, arch, chunk=chunk,
+                                   alias=alias, prefill_chunk=prefill_chunk)
     else:
         spec = None
         if draft_engine is not None:
@@ -867,6 +871,11 @@ def main(argv=None):
                     help="serve N concurrent requests via continuous batching")
     ap.add_argument("--decode-chunk", type=int, default=8,
                     help="batched decode tokens per dispatch")
+    ap.add_argument("--prefill-chunk", type=int, default=256,
+                    help="admission prefill tokens per dispatch: bounds the "
+                         "decode stall in-flight streams see while a new "
+                         "request's prompt evaluates (smaller = smoother, "
+                         "larger = higher prefill throughput)")
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--weight-mode", default="fused", choices=["fused", "dequant"])
@@ -919,7 +928,7 @@ def main(argv=None):
     httpd = serve(engine, mf.vocab, args.host, args.port, arch=mf.arch,
                   parallel=args.parallel, chunk=args.decode_chunk,
                   alias=args.alias or args.model, draft_engine=draft,
-                  draft_k=args.draft_k)
+                  draft_k=args.draft_k, prefill_chunk=args.prefill_chunk)
     print(f"listening on http://{args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 

@@ -271,3 +271,38 @@ def test_batcher_top_k_zero_clamps_to_cap(model):
         cb.run()
         outs.append(req.out)
     assert outs[0] == outs[1]
+
+
+def test_chunked_admission_interleaves_decode(model):
+    """A long-prompt admission must NOT stall in-flight rows for its whole
+    prompt: with prefill_chunk=4, a 16-token prompt takes 4 prefill steps,
+    and the already-live row keeps producing tokens between them."""
+    cfg = _cfg()
+    eng = FalconEngine(model.hparams, load_params(model, cfg), cfg,
+                       batch_size=2)
+    cb = ContinuousBatcher(eng, chunk=2, prefill_chunk=4)
+    r1 = cb.submit(Request(PROMPTS[0], n_predict=30))
+    cb.step()  # r1 admitted + prefilled (short prompt) + first decode
+    assert not cb.prefilling and len(r1.out) >= 1
+
+    long_prompt = (PROMPTS[1] * 8)[:16]
+    r2 = cb.submit(Request(long_prompt, n_predict=4))
+    progress = []  # r1 tokens produced during each step r2 was mid-prefill
+    while r2.row < 0 or cb.prefilling:
+        before = len(r1.out)
+        cb.step()
+        if cb.prefilling:
+            progress.append(len(r1.out) - before)
+    # r1 advanced during r2's chunked prefill (interleaving, not a stall)
+    assert sum(progress) > 0, progress
+    cb.run()
+    assert len(r2.out) == 4 and r1.done
+
+    # interleaved admission must not change results: same request on a
+    # fresh batcher with whole-prompt prefill chunks
+    eng2 = FalconEngine(model.hparams, load_params(model, cfg), cfg,
+                        batch_size=2)
+    cb2 = ContinuousBatcher(eng2, chunk=2, prefill_chunk=512)
+    r3 = cb2.submit(Request(long_prompt, n_predict=4))
+    cb2.run()
+    assert r3.out == r2.out
