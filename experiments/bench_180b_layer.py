@@ -75,8 +75,49 @@ for L in (2, 4):
     if L != 4:
         del eng
 
+# ---- DIRECT fixed-cost measurement (VERDICT r4 #7): the non-layer work
+# per decode step — embedding row gather + output norm + the 65024x14848
+# lm_head quant matmul + argmax — as a 64-step jitted scan at real 180B
+# geometry (single-kernel microbenches through this tunnel read ~4x slow;
+# a scanned chunk amortizes dispatch like the real decode loop does).
+from ggllm_tpu.models.falcon import layer_norm
+from ggllm_tpu.ops.linear import linear
+
+
+def _head_chunk(params, tok0):
+    def body(tok, _):
+        x = jnp.take(params["tok_embeddings"], tok[None, None], axis=0) \
+            .astype(jnp.bfloat16)
+        x = layer_norm(x, params["output_norm"], params["output_norm_b"])
+        logits = linear(params["lm_head"], x, preferred_dtype=jnp.float32)
+        nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+        return nxt, nxt
+
+    _, toks = jax.lax.scan(body, tok0, None, length=CHUNK)
+    return toks
+
+
+head = jax.jit(_head_chunk)
+hp_head = {k: params4[k] for k in
+           ("tok_embeddings", "output_norm", "output_norm_b", "lm_head")}
+jax.block_until_ready(head(hp_head, jnp.int32(3)))  # compile
+head_trials = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = head(hp_head, jnp.int32(5))
+    np.asarray(out)  # dependent fetch: block_until_ready lies on this link
+    head_trials.append((time.perf_counter() - t0) / CHUNK * 1e3)
+fixed_direct = min(head_trials)
+print(f"fixed costs MEASURED (embed + out-norm + lm_head + argmax, "
+      f"{CHUNK}-step scan): {fixed_direct:.3f} ms/token "
+      f"(trials {[f'{t:.3f}' for t in head_trials]})", flush=True)
+
 marg = (res[4] - res[2]) / 2
 fixed = res[2] - 2 * marg
+print(f"fixed by L2/L4 extrapolation: {fixed:.3f} ms/token "
+      f"(direct measurement above is the number the projection uses)",
+      flush=True)
+fixed = fixed_direct
 full_1chip = fixed + marg * 80  # hypothetical single chip with enough HBM
 # TP projection: per-chip layer bytes scale 1/mp; fixed costs (lm_head,
 # sampling, dispatch) replicate. One psum/layer rides ICI (~1-2 us/layer at
