@@ -134,6 +134,14 @@ class EngineConfig:
     kernel_layout: bool | None = None
     # Pallas flash attention for prefill: None = auto (TPU, no mesh)
     flash_attention: bool | None = None
+    # physical layout of the packed quant planes (engine._relayout_planes):
+    # "decode" keeps the as-built k-minor layout the VPU-floor decode
+    # matvec kernels want; "prefill" relayouts to row-major, removing the
+    # per-chunk transposing copies XLA inserts around the MXU prefill
+    # kernels (+15% prefill, 6257 -> 6993 tok/s @2048 measured — but
+    # decode collapses 111 -> 15 tok/s, so only prefill-dominated tools
+    # like perplexity should pick it)
+    plane_layout: str = "decode"
     # mesh axes: data (replica), model (tensor-parallel)
     mesh_shape: tuple = (1, 1)
     mesh_axes: tuple = ("data", "model")

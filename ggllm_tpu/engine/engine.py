@@ -43,6 +43,45 @@ PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 DECODE_CHUNK = 16
 
 
+def _relayout_planes(params):
+    """Re-lay the packed quant-plane leaves to default row-major ON DEVICE
+    (cfg.plane_layout="prefill").
+
+    The builders emit planes k-minor — the layout the VPU-floor decode
+    matvec kernels are fastest with — while the MXU prefill kernels
+    receive row-major operands, so XLA inserts a transposing copy of
+    every plane once per prefill chunk (~36 ms per 2048 tokens at 7B,
+    round-5 trace census). Prefill-dominated workloads (perplexity) opt
+    into row-major storage and skip those copies (+15% measured); decode
+    workloads must NOT (111 -> 15 tok/s measured with row-major planes).
+    One jitted identity with pinned output layouts relayouts everything
+    on device — device_put with a Format would round-trip gigabytes
+    through the host tunnel."""
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        flat, treedef = jax.tree.flatten(params)
+        idx = [
+            i for i, x in enumerate(flat)
+            if hasattr(x, "format") and getattr(x, "ndim", 0) > 1
+            and str(x.dtype) in ("uint8", "int16", "int8")
+            and x.format.layout is not None
+            and x.format.layout.major_to_minor != tuple(range(x.ndim))
+        ]
+        if not idx:
+            return params
+        fmts = tuple(
+            Format(Layout(major_to_minor=tuple(range(flat[i].ndim))),
+                   flat[i].sharding) for i in idx)
+        fixed = jax.jit(lambda xs: xs, out_shardings=fmts)(
+            tuple(flat[i] for i in idx))
+        for i, g in zip(idx, fixed):
+            flat[i] = g
+        return treedef.unflatten(flat)
+    except Exception:
+        return params  # platforms without layout support
+
+
 def _bucket(n: int, n_batch: int) -> int:
     if n == 1:
         return 1  # decode step: dedicated (B, 1) program
@@ -177,6 +216,8 @@ class FalconEngine:
                 self._kv_sharding = NamedSharding(
                     mesh, shd.kv_specs(hparams, mesh, batch_size)
                 )
+        if self.cfg.plane_layout == "prefill":
+            params = _relayout_planes(params)
         self.params = params
         self.n_past = 0
         self.kv = self.new_kv()

@@ -35,6 +35,9 @@ def main(argv=None):
         kv_dtype=args.kv_dtype,
         compute_dtype=args.compute_dtype,
         weight_mode=args.weight_mode,
+        # perplexity is pure prefill: row-major quant planes skip the
+        # per-chunk transposing copies around the MXU kernels (+15%)
+        plane_layout="prefill",
     )
     t0 = time.time()
     mf, params = load_model(args.model, cfg)
