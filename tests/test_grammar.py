@@ -340,3 +340,35 @@ def test_grammar_device_step_stochastic_valid(tiny_model):
                                     device=True, temp=0.9, n=10)
     assert toks
     assert all(vocab.id_to_token[t].isdigit() for t in toks if t != 11)
+
+
+def test_grammar_device_step_llama(tmp_path):
+    """The fused masked device step is arch-neutral: LLaMA engine, digit
+    grammar, device == host greedy stream."""
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.engine.generator import Generator
+    from ggllm_tpu.io.ggcc import read_model
+    from ggllm_tpu.io.loader import load_params
+    from ggllm_tpu.ops import sampling
+    from ggllm_tpu.utils.synthetic import write_tiny_llama
+
+    path = str(tmp_path / "l.ggjt")
+    write_tiny_llama(path, seed=13)
+    mf = read_model(path)
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32", kernel_layout=True)
+    outs = []
+    for device in (False, True):
+        eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+        g = GrammarSampler(parse_gbnf("root ::= [0-9]+"),
+                           mf.vocab.id_to_token, 2)
+        gen = Generator(eng, sampling.SamplerParams(temp=0.0,
+                                                    repeat_penalty=1.0),
+                        2, grammar=g)
+        gen.grammar_device = device
+        toks = []
+        logits = gen.prefill([5, 17, 130])
+        gen.generate(logits, 10, lambda t: toks.append(t) or True)
+        outs.append(toks)
+    assert outs[0] == outs[1] and outs[0]

@@ -340,3 +340,95 @@ def test_fused_stochastic_first_token_distribution(engines):
     assert set(counts) <= set(int(t) for t in kept)
     emp = np.array([counts.get(int(t), 0) / n for t in kept])
     assert np.abs(emp - p[kept]).max() < 0.08, (emp, p[kept])
+
+
+# ----------------------------------------------- arch neutrality (LLaMA)
+
+@pytest.fixture(scope="module")
+def llama_engines(tmp_path_factory):
+    from ggllm_tpu.utils.synthetic import write_tiny_llama
+
+    d = tmp_path_factory.mktemp("spec_llama")
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="float32",
+                       compute_dtype="float32", kernel_layout=True)
+    out = {}
+    for name, seed in (("target", 7), ("other", 19)):
+        path = str(d / f"{name}.ggjt")
+        write_tiny_llama(path, seed=seed)
+        out[name] = (read_model(path), cfg)
+    return out
+
+
+def _make_llama(llama_engines, which):
+    mf, cfg = llama_engines[which]
+    return FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+
+
+def test_llama_fused_speculative_greedy(llama_engines):
+    """The fused device rounds are arch-neutral: LLaMA target + mismatched
+    LLaMA draft, greedy output identical to target-only decode."""
+    ref = _target_only_greedy(_make_llama(llama_engines, "target"),
+                              PROMPT, FUSED, 18)
+    spec = SpeculativeDecoder(_make_llama(llama_engines, "target"),
+                              _make_llama(llama_engines, "other"), k=3)
+    assert spec._fused_ok(FUSED)
+    assert spec.generate(PROMPT, 18, FUSED) == ref
+    assert spec.stats.n_rounds > 0
+
+
+def test_llama_fused_speculative_stochastic_replay(llama_engines):
+    """Stochastic fused rounds on LLaMA replay exactly on host."""
+    spec = SpeculativeDecoder(_make_llama(llama_engines, "target"),
+                              _make_llama(llama_engines, "other"), k=3,
+                              rounds_per_dispatch=2)
+    out = spec.generate(PROMPT, 12, STOCH)
+    assert len(out) > 0 and spec.stats.n_rounds > 0
+
+    # host mirror on fresh llama engines
+    tgt = _make_llama(llama_engines, "target")
+    dr = _make_llama(llama_engines, "other")
+    n_ctx = tgt.cfg.n_ctx
+    if len(PROMPT) > 1:
+        tgt.eval_tokens(PROMPT[:-1])
+        dr.eval_tokens(PROMPT[:-1])
+    t0 = PROMPT[-1]
+    replay = []
+    for _, _, us in spec.last_rounds:
+        n0 = tgt.n_past
+        k = 3
+        u_draft, u_acc, u_fin = us[: k + 1], us[k + 1: 2 * k + 1], us[-1]
+        xs, qs = [], []
+        x = t0
+        for j in range(k + 1):
+            lg = dr.eval_tokens([x])
+            q = sampling.cascade_probs(lg, [], STOCH, n_ctx)
+            cum = np.cumsum(q)
+            sel = cum > u_draft[j] * cum[-1]
+            x = int(np.argmax(sel)) if sel.any() \
+                else int(np.max(np.nonzero(q > 0)[0]))
+            xs.append(x)
+            qs.append(q)
+        rows = tgt.eval_tokens([t0] + xs[:k], logits_all=True)
+        ps = [sampling.cascade_probs(rows[i], [], STOCH, n_ctx)
+              for i in range(k + 1)]
+        n_acc = 0
+        for i in range(k):
+            if u_acc[i] * qs[i][xs[i]] < ps[i][xs[i]]:
+                n_acc += 1
+            else:
+                break
+        p_sel = ps[n_acc]
+        q_sel = qs[n_acc] if n_acc < k else np.zeros_like(p_sel)
+        resid = np.maximum(p_sel - q_sel, 0.0)
+        tot = float(resid.sum())
+        dist = resid / tot if tot > 0 else p_sel
+        cum = np.cumsum(dist)
+        sel = cum > u_fin * cum[-1]
+        final = int(np.argmax(sel)) if sel.any() \
+            else int(np.max(np.nonzero(dist > 0)[0]))
+        replay.extend(xs[:n_acc] + [final])
+        tgt.rollback(n0 + n_acc + 1)
+        dr.rollback(n0 + n_acc + 1)
+        t0 = final
+    committed = [t for e, _, _ in spec.last_rounds for t in e]
+    assert replay[: len(committed)] == committed
