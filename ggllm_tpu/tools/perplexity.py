@@ -29,15 +29,21 @@ def main(argv=None):
                     help="limit evaluated chunks (0 = all)")
     args = ap.parse_args(argv)
 
+    from ggllm_tpu.io.ggcc import read_model
+
+    # perplexity is pure prefill: Falcon engines take row-major quant
+    # planes, skipping the per-chunk transposing copies around the MXU
+    # kernels (6257 -> 6993 tok/s measured); LLaMA's kernels measure
+    # slightly FASTER with the as-built layout (6663 vs 6466), so only
+    # falcon opts in. Metadata read is memmap-cheap.
+    arch = read_model(args.model).arch
     cfg = EngineConfig(
         n_ctx=args.ctx_size,
         n_batch=args.batch_size,
         kv_dtype=args.kv_dtype,
         compute_dtype=args.compute_dtype,
         weight_mode=args.weight_mode,
-        # perplexity is pure prefill: row-major quant planes skip the
-        # per-chunk transposing copies around the MXU kernels (+15%)
-        plane_layout="prefill",
+        plane_layout="prefill" if arch == "falcon" else "decode",
     )
     t0 = time.time()
     mf, params = load_model(args.model, cfg)
