@@ -462,6 +462,12 @@ def main(argv=None):
             print(f"draft model loaded in {time.time() - t0:.1f}s",
                   file=sys.stderr)
         spec = SpeculativeDecoder(engine, draft, k=args.draft_k)
+        if args.prompt_cache:
+            # sessions snapshot only the TARGET's cache; restoring it would
+            # desynchronize the draft — speculative runs prefill fresh
+            print("note: --prompt-cache is ignored in speculative mode "
+                  "(the draft cache is not part of session state)",
+                  file=sys.stderr)
         ss = StopStream([s.encode() for s in stopwords],
                         [a.encode() for a in args.reverse_prompt])
         set_color(ANSI_PROMPT)
