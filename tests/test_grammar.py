@@ -372,3 +372,34 @@ def test_grammar_device_step_llama(tmp_path):
         gen.generate(logits, 10, lambda t: toks.append(t) or True)
         outs.append(toks)
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_grammar_device_step_int8_kv(tiny_model):
+    """The masked device chunk composes with the int8 (codes, scales) KV
+    tuple cache: same greedy stream as the host path on the same cache
+    dtype."""
+    from ggllm_tpu.core.config import EngineConfig
+    from ggllm_tpu.engine.engine import FalconEngine
+    from ggllm_tpu.engine.generator import Generator
+    from ggllm_tpu.io.ggcc import read_model
+    from ggllm_tpu.io.loader import load_params
+    from ggllm_tpu.ops import sampling
+
+    mf = read_model(tiny_model)
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="int8",
+                       compute_dtype="float32", kernel_layout=True)
+    outs = []
+    for device in (False, True):
+        eng = FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+        assert isinstance(eng.kv, tuple)
+        g = GrammarSampler(parse_gbnf("root ::= [0-9]+"),
+                           mf.vocab.id_to_token, 11)
+        gen = Generator(eng, sampling.SamplerParams(temp=0.0,
+                                                    repeat_penalty=1.0),
+                        11, grammar=g)
+        gen.grammar_device = device
+        toks = []
+        logits = gen.prefill([5, 17, 130])
+        gen.generate(logits, 10, lambda t: toks.append(t) or True)
+        outs.append(toks)
+    assert outs[0] == outs[1] and outs[0]

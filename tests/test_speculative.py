@@ -432,3 +432,21 @@ def test_llama_fused_speculative_stochastic_replay(llama_engines):
         t0 = final
     committed = [t for e, _, _ in spec.last_rounds for t in e]
     assert replay[: len(committed)] == committed
+
+
+def test_fused_speculative_int8_kv(engines):
+    """Fused rounds over int8 (codes, scales) KV caches on BOTH engines:
+    greedy output equals target-only greedy on the same cache dtype."""
+    mf_t, _ = engines["target"]
+    mf_o, _ = engines["other"]
+    cfg = EngineConfig(n_ctx=96, n_batch=32, kv_dtype="int8",
+                       compute_dtype="float32", kernel_layout=True)
+
+    def make(mf):
+        return FalconEngine(mf.hparams, load_params(mf, cfg), cfg)
+
+    ref = _target_only_greedy(make(mf_t), PROMPT, FUSED, 16)
+    spec = SpeculativeDecoder(make(mf_t), make(mf_o), k=3)
+    assert isinstance(spec.target.kv, tuple)
+    assert spec.generate(PROMPT, 16, FUSED) == ref
+    assert spec.stats.n_rounds > 0
