@@ -319,6 +319,162 @@ class SpeculativeDecoder:
         self._round_jit[spec] = jax.jit(block, donate_argnums=(3, 4))
         return self._round_jit[spec]
 
+    # --------------------------------------- batched fused rounds (B rows)
+
+    def _fused_round_rows(self):
+        """Greedy fused speculative rounds VECTORIZED over B independent
+        rows at per-row positions (the continuous-batching geometry): every
+        row drafts k+1 tokens, one batched verify forward scores all rows'
+        chunks at their own n_past, and the longest argmax-match prefix
+        commits per row. R rounds chain in a lax.scan. Rows advance
+        raggedly (n_acc differs per row); rejected positions leave stale
+        per-row cache entries beyond that row's n_past, which attention
+        masks by construction — the same invariant continuous batching
+        relies on."""
+        key = ("rows",)
+        if key in self._round_jit:
+            return self._round_jit[key]
+        import jax
+        import jax.numpy as jnp
+
+        from ggllm_tpu.models.falcon import merged_cache_view
+        from ggllm_tpu.ops import kvcache
+
+        tgt, dr, k = self.target, self.draft, self.k
+        R = self.rounds
+        t_fwd, t_st, inv_t = tgt._forward, tgt.st, tgt.inv_freq
+        d_fwd, d_st, inv_d = dr._forward, dr.st, dr.inv_freq
+        t_dtype, d_dtype = tgt.compute_dtype, dr.compute_dtype
+        d_kv_dtype = dr.cfg.kv_dtype
+        B = tgt.batch
+
+        def one_round(params_t, params_d, toks0, kv_t, kv_d, npv):
+            kvd = kv_d[0] if isinstance(kv_d, tuple) else kv_d
+            Ld, _, _, _, KVd, Dd = kvd.shape
+            pdtype = d_dtype if d_kv_dtype == "int8" else kvd.dtype
+            pending0 = jnp.zeros((Ld, 2, B, k + 1, KVd, Dd), pdtype)
+            kvm = merged_cache_view(kv_d, d_st)
+
+            def body(carry, j):
+                toks, pending = carry
+                logits, kv_new = d_fwd(
+                    params_d, toks[:, None], kv_d, npv + j, inv_d, d_st,
+                    logits_all=False, compute_dtype=d_dtype,
+                    last_pos=jnp.zeros(B, jnp.int32),
+                    unroll=True, pending=pending, n_pend=j, kv_merged=kvm)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                pending = jax.lax.dynamic_update_slice(
+                    pending, kv_new.astype(pdtype), (0, 0, 0, j, 0, 0))
+                return (nxt, pending), nxt
+
+            (_, pending), drafted = jax.lax.scan(
+                body, (toks0, pending0), jnp.arange(k + 1, dtype=jnp.int32))
+            kv_d2 = kvcache.write_all_layers(kv_d, pending, npv)
+            xs = drafted[:k].T  # (B, k)
+
+            seq = jnp.concatenate([toks0[:, None], xs], axis=1)  # (B, k+1)
+            from ggllm_tpu.engine.engine import _bucket
+            P = _bucket(k + 1, 512)
+            seq_p = jnp.pad(seq, ((0, 0), (0, P - (k + 1))))
+            logits, kv_t2 = t_fwd(
+                params_t, seq_p, kv_t, npv, inv_t, t_st,
+                logits_all=True, compute_dtype=t_dtype, last_pos=k)
+            rows = logits[:, : k + 1].astype(jnp.float32)  # (B, k+1, V)
+            pargmax = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+            ok = jnp.cumprod((pargmax[:, :k] == xs).astype(jnp.int32), axis=1)
+            n_acc = ok.sum(axis=1)  # (B,)
+            final = jnp.take_along_axis(
+                pargmax, n_acc[:, None], axis=1)[:, 0]
+            idx = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            xs_ext = jnp.concatenate([xs, xs[:, :1]], axis=1)
+            toks_out = jnp.where(idx < n_acc[:, None], xs_ext,
+                                 final[:, None])
+            return toks_out, n_acc, kv_t2, kv_d2, npv + n_acc + 1, final
+
+        def block(params_t, params_d, toks0, kv_t, kv_d, npv):
+            def body(carry, _):
+                toks, kv_t, kv_d, npv = carry
+                out, n_acc, kv_t, kv_d, npv, toks = one_round(
+                    params_t, params_d, toks, kv_t, kv_d, npv)
+                return (toks, kv_t, kv_d, npv), (out, n_acc)
+
+            (toks, kv_t, kv_d, npv), (out_r, acc_r) = jax.lax.scan(
+                body, (toks0, kv_t, kv_d, npv), length=R)
+            return out_r, acc_r, kv_t, kv_d, npv, toks
+
+        self._round_jit[key] = jax.jit(block, donate_argnums=(3, 4))
+        return self._round_jit[key]
+
+    def generate_rows(self, prompts, n_predict: int,
+                      stop_ids: set | None = None) -> list[list[int]]:
+        """Batch-generate GREEDILY from B prompts at once through fused
+        speculative rounds (offline batch inference: every row drafts and
+        verifies in the same device programs; output per row is bit-
+        identical to single-stream greedy decode of that prompt,
+        test-enforced). Both engines must be built with batch_size == B,
+        single-device, and enter fresh (per-row positions start at 0)."""
+        import jax
+        import jax.numpy as jnp
+
+        tgt, dr, k, R = self.target, self.draft, self.k, self.rounds
+        B = tgt.batch
+        assert dr.batch == B and len(prompts) == B, "one prompt per row"
+        assert tgt.mesh is None and dr.mesh is None
+        prompts = [[int(t) for t in np.asarray(p).reshape(-1)]
+                   for p in prompts]
+        assert all(prompts), "every row needs a prompt"
+        n_ctx = tgt.cfg.n_ctx
+        stats = self.stats = SpecStats()
+
+        npv = np.zeros(B, np.int32)
+        tgt.prefill_rows(list(range(B)), [p[:-1] for p in prompts], npv,
+                         fetch_rows=set())
+        dr.prefill_rows(list(range(B)), [p[:-1] for p in prompts], npv,
+                        fetch_rows=set())
+        npv = np.asarray([len(p) - 1 for p in prompts], np.int32)
+        toks = jnp.asarray(np.asarray([p[-1] for p in prompts], np.int32))
+        npv_dev = jnp.asarray(npv)
+
+        rnd = self._fused_round_rows()
+        out: list[list[int]] = [[] for _ in range(B)]
+        done = [False] * B
+        import time as _time
+        t0 = _time.perf_counter()
+        warm = False
+        while not all(done) and \
+                int(npv.max()) + 2 * R * (k + 1) <= n_ctx:
+            toks_r, acc_r, tgt.kv, dr.kv, npv_dev, toks = rnd(
+                tgt.params, dr.params, toks, tgt.kv, dr.kv, npv_dev)
+            if not warm:
+                warm = True
+                jax.block_until_ready(acc_r)
+                tgt.timings.t_compile_us += \
+                    (_time.perf_counter() - t0) * 1e6
+                t0 = _time.perf_counter()
+            toks_h = np.asarray(jax.device_get(toks_r))   # (R, B, k+1)
+            acc_h = np.asarray(jax.device_get(acc_r))     # (R, B)
+            npv = np.asarray(jax.device_get(npv_dev))
+            for r in range(R):
+                stats.n_rounds += 1
+                for b in range(B):
+                    if done[b]:
+                        continue
+                    n_acc = int(acc_h[r, b])
+                    stats.n_drafted += k
+                    stats.n_accepted += n_acc
+                    for t in toks_h[r, b, : n_acc + 1]:
+                        t = int(t)
+                        out[b].append(t)
+                        stats.n_emitted += 1
+                        if (stop_ids and t in stop_ids) or \
+                                len(out[b]) >= n_predict:
+                            done[b] = True
+                            break
+        dt = (_time.perf_counter() - t0) * 1e6
+        tgt.timings.t_decode_us += dt
+        tgt.timings.n_decode += sum(len(o) for o in out)
+        return [o[:n_predict] for o in out]
+
     def _generate_fused(self, prompt_ids, n_predict, stop_ids, on_token,
                         stats, sampler) -> list[int]:
         import jax

@@ -450,3 +450,43 @@ def test_fused_speculative_int8_kv(engines):
     assert isinstance(spec.target.kv, tuple)
     assert spec.generate(PROMPT, 16, FUSED) == ref
     assert spec.stats.n_rounds > 0
+
+
+# ------------------------------------------------- batched fused rounds
+
+def test_generate_rows_matches_sequential(engines):
+    """Batched speculative rounds (B rows, per-row positions, one device
+    program) must give EACH row exactly its single-stream greedy stream —
+    including ragged advancement with a mismatched draft."""
+    mf_t, cfg = engines["target"]
+    mf_o, _ = engines["other"]
+    prompts = [[5, 9, 2, 14, 3], [7, 1, 4], [11, 30, 8, 2, 6, 40]]
+    B = len(prompts)
+
+    refs = [
+        _target_only_greedy(_make(engines, "target"), p, FUSED, 12)
+        for p in prompts
+    ]
+    tgt = FalconEngine(mf_t.hparams, load_params(mf_t, cfg), cfg,
+                       batch_size=B)
+    dr = FalconEngine(mf_o.hparams, load_params(mf_o, cfg), cfg,
+                      batch_size=B)
+    spec = SpeculativeDecoder(tgt, dr, k=3, rounds_per_dispatch=2)
+    outs = spec.generate_rows(prompts, 12)
+    assert outs == refs
+    assert spec.stats.n_rounds > 0
+
+
+def test_generate_rows_perfect_draft(engines):
+    """Draft == target at B rows: every draft accepted, k+1 tokens per
+    row per round."""
+    mf_t, cfg = engines["target"]
+    prompts = [[5, 9, 2], [7, 1, 4, 30]]
+    tgt = FalconEngine(mf_t.hparams, load_params(mf_t, cfg), cfg,
+                       batch_size=2)
+    dr = FalconEngine(mf_t.hparams, load_params(mf_t, cfg), cfg,
+                      batch_size=2)
+    spec = SpeculativeDecoder(tgt, dr, k=3, rounds_per_dispatch=1)
+    outs = spec.generate_rows(prompts, 12)
+    assert all(len(o) == 12 for o in outs)
+    assert spec.stats.acceptance == 1.0
