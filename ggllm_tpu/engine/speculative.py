@@ -431,6 +431,34 @@ class SpeculativeDecoder:
                          fetch_rows=set())
         dr.prefill_rows(list(range(B)), [p[:-1] for p in prompts], npv,
                         fetch_rows=set())
+
+        # the round program gathers from the embedding in both engines' ~11
+        # forwards; a column-major (as-built) table makes XLA materialize
+        # row-major 571 MB copies PER USE and remat-compress them (measured:
+        # OOM at B=8, 160 ms/round at block=1). One shared row-major copy
+        # passed in both trees removes them.
+        def _row_major(x):
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                lay = x.format.layout
+                want = tuple(range(x.ndim))
+                if lay is None or lay.major_to_minor == want:
+                    return x
+                return jax.jit(
+                    lambda a: a,
+                    out_shardings=Format(Layout(major_to_minor=want),
+                                         x.sharding))(x)
+            except Exception:
+                return x
+
+        emb_rm = _row_major(tgt.params["tok_embeddings"])
+        params_t = {**tgt.params, "tok_embeddings": emb_rm}
+        if dr.params["tok_embeddings"] is tgt.params["tok_embeddings"]:
+            emb_rm_d = emb_rm
+        else:
+            emb_rm_d = _row_major(dr.params["tok_embeddings"])
+        params_d = {**dr.params, "tok_embeddings": emb_rm_d}
         npv = np.asarray([len(p) - 1 for p in prompts], np.int32)
         toks = jnp.asarray(np.asarray([p[-1] for p in prompts], np.int32))
         npv_dev = jnp.asarray(npv)
@@ -444,7 +472,7 @@ class SpeculativeDecoder:
         while not all(done) and \
                 int(npv.max()) + 2 * R * (k + 1) <= n_ctx:
             toks_r, acc_r, tgt.kv, dr.kv, npv_dev, toks = rnd(
-                tgt.params, dr.params, toks, tgt.kv, dr.kv, npv_dev)
+                params_t, params_d, toks, tgt.kv, dr.kv, npv_dev)
             if not warm:
                 warm = True
                 jax.block_until_ready(acc_r)
