@@ -16,6 +16,7 @@ Usage: python experiments/bench_spec_batched.py [--b 8] [--k 8]
 """
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -26,6 +27,8 @@ ap.add_argument("--b", type=int, default=8)
 ap.add_argument("--k", type=int, default=8)
 ap.add_argument("--draft-layers", type=int, default=4)
 ap.add_argument("--block", type=int, default=4)
+ap.add_argument("--prefill-planes", action="store_true",
+                help="row-major planes on the TARGET (it only runs prefill-style verifies in this mode)")
 args = ap.parse_args()
 
 import jax
@@ -53,10 +56,11 @@ print(f"params {time.time()-t0:.1f}s backend={jax.default_backend()}",
 rng = np.random.default_rng(0)
 prompts = [list(map(int, rng.integers(0, hp.n_vocab, 16))) for _ in range(B)]
 
-import dataclasses
+cfg_t = dataclasses.replace(cfg, plane_layout="prefill") \
+    if "--prefill-planes" in sys.argv else cfg
 
 for mode, dl in (("self-draft", args.draft_layers), ("alpha=1", hp.n_layer)):
-    target = FalconEngine(hp, params, cfg, batch_size=B)
+    target = FalconEngine(hp, params, cfg_t, batch_size=B)
     dhp = dataclasses.replace(hp, n_layer=dl)
     draft = FalconEngine(dhp, truncate_params(params, dl), cfg, batch_size=B)
     spec = SpeculativeDecoder(target, draft, k=k,

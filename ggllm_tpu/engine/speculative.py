@@ -436,7 +436,9 @@ class SpeculativeDecoder:
         # forwards; a column-major (as-built) table makes XLA materialize
         # row-major 571 MB copies PER USE and remat-compress them (measured:
         # OOM at B=8, 160 ms/round at block=1). One shared row-major copy
-        # passed in both trees removes them.
+        # passed in both trees removes them; memoized per decoder because
+        # re-running the pinned-layout identity jit per call is both wasted
+        # compile time and fragile through this device tunnel.
         def _row_major(x):
             try:
                 from jax.experimental.layout import Format, Layout
@@ -452,12 +454,15 @@ class SpeculativeDecoder:
             except Exception:
                 return x
 
-        emb_rm = _row_major(tgt.params["tok_embeddings"])
+        if not hasattr(self, "_emb_rm"):
+            emb_rm = _row_major(tgt.params["tok_embeddings"])
+            if dr.params["tok_embeddings"] is tgt.params["tok_embeddings"]:
+                emb_rm_d = emb_rm
+            else:
+                emb_rm_d = _row_major(dr.params["tok_embeddings"])
+            self._emb_rm = (emb_rm, emb_rm_d)
+        emb_rm, emb_rm_d = self._emb_rm
         params_t = {**tgt.params, "tok_embeddings": emb_rm}
-        if dr.params["tok_embeddings"] is tgt.params["tok_embeddings"]:
-            emb_rm_d = emb_rm
-        else:
-            emb_rm_d = _row_major(dr.params["tok_embeddings"])
         params_d = {**dr.params, "tok_embeddings": emb_rm_d}
         npv = np.asarray([len(p) - 1 for p in prompts], np.int32)
         toks = jnp.asarray(np.asarray([p[-1] for p in prompts], np.int32))
