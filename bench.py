@@ -127,7 +127,10 @@ def run_with_retries():
             os.rename(CACHE_DIR, f"{CACHE_DIR}.dropped.{int(time.time())}")
             print(f"dropped compile cache ({reason})", file=sys.stderr)
 
-    for attempt, budget in enumerate((150, 150, 210)):
+    # budgets sized for compile-service weather: fresh decode-loop
+    # compiles measured 28-78 s on good days and 224 s in a bad
+    # window (round 5) — every attempt must out-wait the worst case
+    for attempt, budget in enumerate((240, 300, 420)):
         if attempt:
             _drop_cache("previous attempt failed")
         t0 = time.time()
